@@ -1,0 +1,217 @@
+"""Log-mel spectrogram frontend, numerically matched to librosa defaults.
+
+The reference computes features with
+``librosa.feature.melspectrogram(y, sr, n_mels, hop_length)`` followed by
+``librosa.power_to_db`` (reference main.py:117-125, data/dataset.py:155-156).
+With librosa >= 0.10 (reference requirements.txt:9) that means:
+
+  * STFT: n_fft=2048, win_length=n_fft, periodic Hann window, center=True
+    with **zero** padding (librosa 0.10 default pad_mode='constant'),
+    power spectrum |Z|^2
+  * mel filterbank: Slaney-scale mel frequencies (linear < 1 kHz,
+    logarithmic above), triangular filters, 'slaney' area normalization,
+    fmin=0, fmax=sr/2
+  * power_to_db: 10*log10(max(amin, S)) with ref=1.0, then floored at
+    (per-call max - top_db); the per-call max is per *chunk*, so the batched
+    kernel reduces the max per batch element
+
+Two implementations ship:
+
+  * ``log_mel_numpy`` — float64 host reference (golden oracle for tests,
+    and the preprocessing path when no accelerator is attached)
+  * ``log_mel`` / ``log_mel_batch`` — jittable JAX version designed for the
+    MXU: framing is a static reshape+concat (hop divides n_fft for the
+    shipped config), the mel projection is a single (T, n_fft/2+1) x
+    (n_fft/2+1, n_mels) matmul, and the dB conversion fuses elementwise.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_transcription_tpu.config import AudioConfig
+
+# ---------------------------------------------------------------------------
+# Filterbank / window construction (host, float64)
+# ---------------------------------------------------------------------------
+
+
+def hz_to_mel(freq: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, log above."""
+    freq = np.asarray(freq, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freq / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = freq >= min_log_hz
+    mels = np.where(log_region, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = mels >= min_log_mel
+    freqs = np.where(log_region, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """(n_mels, 1 + n_fft//2) triangular Slaney-normalized filterbank."""
+    if fmax is None:
+        fmax = sr / 2.0
+    n_bins = 1 + n_fft // 2
+    fftfreqs = np.linspace(0.0, sr / 2.0, n_bins)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_pts[2:] - mel_pts[:-2])
+    return weights * enorm[:, None]
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann (scipy get_window('hann', N, fftbins=True))."""
+    n = np.arange(win_length, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+
+
+def _padded_window(n_fft: int, win_length: int) -> np.ndarray:
+    """Hann window zero-padded to n_fft, centered (librosa util.pad_center)."""
+    w = hann_window(win_length)
+    if win_length == n_fft:
+        return w
+    lpad = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float64)
+    out[lpad : lpad + win_length] = w
+    return out
+
+
+def num_frames(n_samples: int, hop_length: int) -> int:
+    """Frame count for center=True STFT: 1 + n_samples // hop."""
+    return 1 + n_samples // hop_length
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) reference — the golden oracle
+# ---------------------------------------------------------------------------
+
+
+def log_mel_numpy(y: np.ndarray, cfg: AudioConfig) -> np.ndarray:
+    """(n_samples,) float audio -> (n_mels, T) float32 log-mel, T = 1 + n//hop."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    win = _padded_window(n_fft, cfg.effective_win_length)
+    y = np.asarray(y, dtype=np.float64)
+    padded = np.pad(y, n_fft // 2)  # center=True, zero pad
+    t = num_frames(len(y), hop)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(t)[:, None]
+    frames = padded[idx] * win[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** cfg.power  # (T, n_bins)
+    fb = mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    mel = spec @ fb.T  # (T, n_mels)
+    log_spec = 10.0 * np.log10(np.maximum(cfg.amin, mel))
+    log_spec = np.maximum(log_spec, log_spec.max() - cfg.top_db)
+    return log_spec.T.astype(np.float32)  # (n_mels, T)
+
+
+# ---------------------------------------------------------------------------
+# JAX (device) implementation
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _device_constants(key: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(window (n_fft,), filterbank transposed (n_bins, n_mels)) as fp32."""
+    sr, n_fft, win_length, n_mels, fmin, fmax = key
+    win = _padded_window(n_fft, win_length).astype(np.float32)
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax).astype(np.float32)
+    return jnp.asarray(win), jnp.asarray(fb.T)
+
+
+def _frontend_constants(cfg: AudioConfig):
+    return _device_constants(
+        (
+            cfg.sample_rate,
+            cfg.n_fft,
+            cfg.effective_win_length,
+            cfg.n_mels,
+            cfg.fmin,
+            cfg.effective_fmax,
+        )
+    )
+
+
+def _frame_signal(padded: jnp.ndarray, n_fft: int, hop: int, t: int) -> jnp.ndarray:
+    """(..., L) zero-padded signal -> (..., t, n_fft) frames.
+
+    When hop divides n_fft (true for the shipped 512/2048 config) framing is
+    a reshape into hop-sized blocks plus n_fft//hop shifted static slices —
+    pure layout work that XLA fuses, no gather.
+    """
+    lead = padded.shape[:-1]
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        n_blocks_needed = t + k - 1
+        want = (n_blocks_needed + 1) * hop  # one spare block for safe slicing
+        if padded.shape[-1] < want:
+            pad = [(0, 0)] * (padded.ndim - 1) + [(0, want - padded.shape[-1])]
+            padded = jnp.pad(padded, pad)
+        blocks = padded[..., : (padded.shape[-1] // hop) * hop].reshape(*lead, -1, hop)
+        parts = [blocks[..., i : i + t, :] for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+    starts = hop * jnp.arange(t)
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    return padded[..., idx]
+
+
+def log_mel_batch(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """(B, n_samples) audio -> (B, n_mels, T) float32 log-mel.
+
+    Jittable for any static n_samples; the top_db floor uses the per-sample
+    max (matching the reference's per-chunk power_to_db call).
+    """
+    win, fb_t = _frontend_constants(cfg)
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    t = num_frames(y.shape[-1], hop)
+    padded = jnp.pad(y.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)))
+    frames = _frame_signal(padded, n_fft, hop, t) * win  # (B, T, n_fft)
+    z = jnp.fft.rfft(frames, axis=-1)
+    spec = jnp.real(z) ** 2 + jnp.imag(z) ** 2
+    if cfg.power != 2.0:
+        spec = spec ** (cfg.power / 2.0)
+    mel = jnp.einsum(
+        "btf,fm->btm", spec, fb_t, preferred_element_type=jnp.float32
+    )  # (B, T, n_mels)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
+    floor = jnp.max(log_spec, axis=(-2, -1), keepdims=True) - cfg.top_db
+    log_spec = jnp.maximum(log_spec, floor)
+    return jnp.swapaxes(log_spec, -1, -2)  # (B, n_mels, T)
+
+
+def log_mel(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """(n_samples,) -> (n_mels, T)."""
+    return log_mel_batch(y[None], cfg)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def log_mel_chunks(chunks: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """Jitted batched frontend over fixed-length chunks: (num_chunks,
+    chunk_samples) -> (num_chunks, n_mels, mel_frames_per_chunk).
+
+    This is the TPU replacement for the reference's serial per-chunk loop
+    (reference main.py:258-266): all chunks of a recording run as one batch.
+    """
+    return log_mel_batch(chunks, cfg)
