@@ -269,13 +269,16 @@ class CNNRNNLarge(nn.Module):
         if self.use_onset_offset_heads:
             shared = nn.relu(nn.Dense(self.hidden_size, dtype=dt, name="shared_fc")(rnn_out.astype(dt)))
             shared = nn.Dropout(self.dropout * 1.5, deterministic=not train)(shared)
+            # All three heads are always materialized (the reference creates
+            # them in __init__); XLA dead-code-eliminates the unused ones
+            # when only the frame output is consumed.
             frame = jnp.swapaxes(nn.Dense(NUM_KEYS, dtype=jnp.float32, name="frame_head")(shared), 1, 2)
-            if not return_all_heads:
-                return frame
             onset = jnp.swapaxes(nn.Dense(NUM_KEYS, dtype=jnp.float32, name="onset_head")(shared), 1, 2)
             offset = jnp.swapaxes(
                 nn.Dense(NUM_KEYS, dtype=jnp.float32, name="offset_head")(shared), 1, 2
             )
+            if not return_all_heads:
+                return frame
             return {"frame": frame, "onset": onset, "offset": offset}
         logits = nn.Dense(NUM_KEYS, dtype=jnp.float32, name="fc")(rnn_out.astype(dt))
         logits = nn.Dropout(self.dropout * 1.5, deterministic=not train)(logits)
