@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Inference CLI: transcribe an audio file to MIDI.
+
+Drop-in surface of the reference CLI (reference main.py:290-363):
+
+    python main.py song.wav checkpoint [-o out.mid] [-t 0.5] [-d tpu|cpu]
+
+``checkpoint`` is either a native orbax checkpoint directory (carries its
+model/audio config) or a reference-format ``.pth`` state_dict (converted on
+load; assumes the shipped cnn_rnn_large/n_mels=320 configuration, reference
+main.py:16-24).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Transcribe audio files to MIDI using a trained transcription model"
+    )
+    parser.add_argument("audio_file", type=str, help="Path to input audio file (wav)")
+    parser.add_argument(
+        "model_file", type=str, help="Path to model checkpoint (.pth or orbax dir)"
+    )
+    parser.add_argument("-o", "--output", type=str, default=None, help="Output MIDI path")
+    parser.add_argument(
+        "-d",
+        "--device",
+        type=str,
+        choices=["cpu", "tpu"],
+        default=None,
+        help="Platform to run on (default: auto-detect)",
+    )
+    parser.add_argument(
+        "-t", "--threshold", type=float, default=0.5, help="Note prediction threshold"
+    )
+    args = parser.parse_args()
+
+    if args.device:
+        os.environ["JAX_PLATFORMS"] = {"tpu": "axon,tpu,cpu", "cpu": "cpu"}[args.device]
+
+    if not os.path.exists(args.audio_file):
+        print(f"Error: Audio file not found: {args.audio_file}")
+        sys.exit(1)
+    if not os.path.exists(args.model_file):
+        print(f"Error: Model file not found: {args.model_file}")
+        sys.exit(1)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from music_transcription_tpu.transcribe import transcribe_audio
+
+    print("=" * 60)
+    print("Music Transcription Pipeline (TPU-native)")
+    print("=" * 60)
+    print(f"Devices: {jax.devices()}")
+
+    try:
+        output_path = transcribe_audio(
+            args.audio_file, args.model_file, args.output, threshold=args.threshold
+        )
+        print("=" * 60)
+        print("Transcription completed successfully!")
+        print(f"Output: {output_path}")
+        print("=" * 60)
+    except Exception as e:
+        print(f"Error during transcription: {e}")
+        import traceback
+
+        traceback.print_exc()
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

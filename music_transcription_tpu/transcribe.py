@@ -1,0 +1,149 @@
+"""End-to-end transcription pipeline: audio file -> MIDI.
+
+The TPU re-design of reference main.py:229-287. Key difference from the
+reference's serial per-chunk Python loop (main.py:258-266): every 30 s chunk
+of the recording becomes a row of one device batch, the mel frontend + model
+forward + sigmoid + threshold run as a single jitted program, and with
+multiple devices the chunk batch is sharded over the mesh. Note decoding
+(roll -> MIDI) stays on host, vectorized over all pitches.
+
+Per-chunk semantics match the reference exactly: 30 s windows zero-padded at
+the tail (main.py:86-97), per-chunk dB floor, sigmoid > threshold
+(main.py:150-156), rolls concatenated along time (main.py:164-186),
+transition decode at fs = sr / hop = 31.25 fps with velocity 100
+(main.py:189-226).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_transcription_tpu.config import AudioConfig, ModelConfig, config_from_dict
+from music_transcription_tpu.data import audio as audio_io
+from music_transcription_tpu.data import midi as midi_io
+from music_transcription_tpu.models.transcription import TranscriptionModel
+from music_transcription_tpu.ops.mel import log_mel_batch
+from music_transcription_tpu.parallel import mesh as mesh_lib
+
+
+@dataclass
+class LoadedModel:
+    model: TranscriptionModel
+    variables: dict
+    audio_cfg: AudioConfig
+
+
+def load_model(checkpoint_path, model_cfg: ModelConfig | None = None,
+               audio_cfg: AudioConfig | None = None) -> LoadedModel:
+    """Load a checkpoint: orbax directory (native, carries its config via a
+    sidecar config.json) or a reference ``.pth`` (converted on the fly)
+    (reference main.py:27-57)."""
+    path = str(checkpoint_path)
+    sidecar = os.path.join(path, "config.json") if os.path.isdir(path) else None
+    if sidecar and os.path.exists(sidecar) and (model_cfg is None or audio_cfg is None):
+        with open(sidecar) as f:
+            saved = json.load(f)
+        if model_cfg is None and "model" in saved:
+            model_cfg = config_from_dict(ModelConfig, saved["model"])
+        if audio_cfg is None and "audio" in saved:
+            audio_cfg = config_from_dict(AudioConfig, saved["audio"])
+    if model_cfg is None:
+        model_cfg = ModelConfig()  # shipped defaults (reference main.py:16-20)
+    if audio_cfg is None:
+        audio_cfg = AudioConfig()
+
+    model = TranscriptionModel(model_cfg)
+    if os.path.isdir(path):
+        from music_transcription_tpu.train.checkpoints import load_checkpoint
+
+        like = model.init(jax.random.key(0))
+        like = {k: like[k] for k in ("params", "batch_stats") if k in like}
+        payload = load_checkpoint(path, like=like)
+        variables = {k: payload[k] for k in ("params", "batch_stats") if k in payload}
+    else:
+        from music_transcription_tpu.train.checkpoints import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(path, model_cfg)
+    return LoadedModel(model=model, variables=variables, audio_cfg=audio_cfg)
+
+
+@partial(jax.jit, static_argnames=("module", "audio_cfg"))
+def _chunks_to_rolls(module, variables, chunks, threshold, audio_cfg: AudioConfig):
+    """(N, chunk_samples) audio -> (N, 88, T) binary rolls, one fused program."""
+    mel = log_mel_batch(chunks, audio_cfg)  # (N, n_mels, T)
+    logits = module.apply(variables, mel[:, None], train=False)  # (N, 88, T)
+    probs = jax.nn.sigmoid(logits)
+    return (probs > threshold).astype(jnp.float32)
+
+
+def transcribe_chunks(
+    loaded: LoadedModel,
+    chunks: np.ndarray,
+    threshold: float = 0.5,
+    mesh=None,
+) -> np.ndarray:
+    """(num_chunks, chunk_samples) -> concatenated (88, num_chunks*T) roll."""
+    n_real = chunks.shape[0]
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh()
+    if mesh is not None:
+        chunks, n_real = mesh_lib.pad_to_multiple(np.asarray(chunks), mesh.size, axis=0)
+        device_chunks = mesh_lib.shard_batch(chunks, mesh)
+        variables = mesh_lib.replicate(loaded.variables, mesh)
+    else:
+        device_chunks = jnp.asarray(chunks)
+        variables = loaded.variables
+    rolls = _chunks_to_rolls(
+        loaded.model.module, variables, device_chunks, threshold, loaded.audio_cfg
+    )
+    rolls = np.asarray(rolls)[:n_real]  # (N, 88, T)
+    return np.concatenate(list(rolls), axis=1)  # (88, N*T) — main.py:164-186
+
+
+def transcribe_audio(
+    audio_path,
+    checkpoint_path,
+    output_path=None,
+    threshold: float = 0.5,
+    model_cfg: ModelConfig | None = None,
+    audio_cfg: AudioConfig | None = None,
+    mesh=None,
+    verbose: bool = True,
+):
+    """Full pipeline (reference main.py:229-287). Returns the MIDI path."""
+
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)
+    acfg = loaded.audio_cfg
+
+    log(f"Loading audio from {audio_path}...")
+    y, _ = audio_io.load_audio(audio_path, sr=acfg.sample_rate, mono=True)
+    duration = len(y) / acfg.sample_rate
+    log(f"Audio duration: {duration:.2f} seconds")
+
+    chunks = audio_io.split_into_chunks(y, acfg.chunk_samples)
+    log(f"Split audio into {chunks.shape[0]} chunks of {acfg.chunk_length}s each "
+        f"(batched on device)")
+
+    combined = transcribe_chunks(loaded, chunks, threshold=threshold, mesh=mesh)
+
+    log("Converting to MIDI...")
+    notes = midi_io.pianoroll_to_notes(combined, fs=acfg.frame_rate)
+    midi = midi_io.notes_to_midi(notes)
+
+    if output_path is None:
+        stem, _ = os.path.splitext(str(audio_path))
+        output_path = stem + "_transcription.mid"
+    midi_io.save_midi(midi, output_path)
+    log(f"MIDI file saved to: {output_path}")
+    return output_path

@@ -1,0 +1,107 @@
+"""End-to-end transcription pipeline tests on a synthetic WAV + tiny model."""
+
+import json
+import os
+import subprocess
+import sys
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from music_transcription_tpu.config import AudioConfig, ModelConfig, config_to_dict
+from music_transcription_tpu.data import midi as midi_io
+from music_transcription_tpu.models.transcription import TranscriptionModel
+from music_transcription_tpu.train.checkpoints import save_checkpoint
+from music_transcription_tpu import transcribe as T
+
+TINY_AUDIO = AudioConfig(n_mels=32, chunk_length=1.0)
+TINY_MODEL = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1)
+
+
+def _write_sine_wav(path, seconds=2.5, sr=16000, freq=440.0):
+    t = np.arange(int(seconds * sr)) / sr
+    y = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(y.tobytes())
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    model = TranscriptionModel(TINY_MODEL)
+    variables = model.init(jax.random.key(0), model.example_input(batch=1, t=8))
+    path = d / "ckpt_dir"
+    save_checkpoint(path, dict(variables))
+    with open(path / "config.json", "w") as f:
+        json.dump(
+            {"model": config_to_dict(TINY_MODEL), "audio": config_to_dict(TINY_AUDIO)}, f
+        )
+    return path
+
+
+def test_load_model_orbax_sidecar(tiny_checkpoint):
+    loaded = T.load_model(tiny_checkpoint)
+    assert loaded.model.config.n_mels == 32
+    assert loaded.audio_cfg.chunk_length == 1.0
+    assert "params" in loaded.variables
+
+
+def test_transcribe_audio_end_to_end(tiny_checkpoint, tmp_path):
+    wav = tmp_path / "in.wav"
+    _write_sine_wav(wav, seconds=2.5)
+    out = tmp_path / "out.mid"
+    result = T.transcribe_audio(wav, tiny_checkpoint, out, threshold=0.5, verbose=False)
+    assert os.path.exists(result)
+    back = midi_io.load_midi(result)  # valid MIDI
+    assert isinstance(back.instruments, list)
+
+
+def test_transcribe_roll_length(tiny_checkpoint, tmp_path):
+    wav = tmp_path / "in.wav"
+    _write_sine_wav(wav, seconds=2.5)  # -> 3 chunks of 1 s
+    loaded = T.load_model(tiny_checkpoint)
+    from music_transcription_tpu.data.audio import load_wav, split_into_chunks
+
+    y, _ = load_wav(wav, sr=16000)
+    chunks = split_into_chunks(y, loaded.audio_cfg.chunk_samples)
+    assert chunks.shape[0] == 3
+    roll = T.transcribe_chunks(loaded, chunks, threshold=0.5)
+    t_per_chunk = loaded.audio_cfg.mel_frames_per_chunk
+    assert roll.shape == (88, 3 * t_per_chunk)
+    assert set(np.unique(roll)) <= {0.0, 1.0}
+
+
+def test_transcribe_chunks_sharded_matches_single(tiny_checkpoint):
+    """Mesh-sharded inference must be numerically identical to single-device,
+    including the padding path (5 chunks over 8 devices)."""
+    loaded = T.load_model(tiny_checkpoint)
+    rng = np.random.default_rng(0)
+    chunks = (0.1 * rng.standard_normal((5, TINY_AUDIO.chunk_samples))).astype(np.float32)
+    single = T.transcribe_chunks(loaded, chunks, threshold=0.5, mesh=None)
+    from music_transcription_tpu.parallel.mesh import make_mesh
+
+    sharded = T.transcribe_chunks(loaded, chunks, threshold=0.5, mesh=make_mesh(8))
+    assert single.shape == sharded.shape
+    assert (single == sharded).all()
+
+
+def test_main_cli(tiny_checkpoint, tmp_path):
+    wav = tmp_path / "cli.wav"
+    _write_sine_wav(wav, seconds=1.2)
+    out = tmp_path / "cli.mid"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "main.py"), str(wav), str(tiny_checkpoint),
+         "-o", str(out), "-d", "cpu", "-t", "0.7"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert out.exists()
+    assert "Transcription completed successfully!" in proc.stdout
