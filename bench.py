@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: 30 s-chunk transcription latency per chip.
+
+Measures the full device pipeline — batched log-mel frontend + CNNRNNLarge
+(89M, shipped config n_mels=320) forward + sigmoid/threshold — in the bf16
+serving configuration, steady-state, on whatever accelerator is attached.
+
+Prints ONE JSON line:
+  {"metric": "chunk_latency", "value": <ms per 30s chunk>, "unit": "ms/chunk",
+   "vs_baseline": <baseline 50 ms / ours>}
+
+vs_baseline > 1.0 means faster than the 50 ms/chunk/chip north-star target
+(BASELINE.md). Extra diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS = 50.0  # north-star: <50 ms per 30 s chunk per chip (BASELINE.md)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music_transcription_tpu.config import AudioConfig, ModelConfig
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+    from music_transcription_tpu.ops.mel import log_mel_batch
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    audio_cfg = AudioConfig()
+    model_cfg = ModelConfig(
+        model_type="cnn_rnn_large", n_mels=320, hidden_size=512, num_layers=3,
+        compute_dtype="bfloat16",
+    )
+    model = TranscriptionModel(model_cfg)
+    t0 = time.perf_counter()
+    sample = model.example_input(batch=1, t=64)
+    variables = jax.jit(lambda rng: model.module.init({"params": rng}, sample, train=False))(
+        jax.random.key(0)
+    )
+    jax.block_until_ready(variables)
+    print(f"[bench] init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def pipeline(variables, chunks):
+        mel = log_mel_batch(chunks, audio_cfg)
+        logits = model.module.apply(variables, mel[:, None], train=False)
+        roll = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.bool_)
+        # int32 reduction: fetching this scalar to host is the timing fence
+        # (block_until_ready alone can be a no-op on experimental backends).
+        return roll, jnp.sum(roll.astype(jnp.int32))
+
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        (0.1 * rng.standard_normal((batch, audio_cfg.chunk_samples))).astype(np.float32)
+    )
+    variables = jax.device_put(variables)
+
+    t0 = time.perf_counter()
+    _, fence = pipeline(variables, chunks)
+    _ = int(fence)  # device -> host forces completion
+    print(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(iters):
+        # vary input each iter so no caching layer can replay a result
+        c = chunks + jnp.float32(i * 1e-6)
+        t0 = time.perf_counter()
+        _, fence = pipeline(variables, c)
+        _ = int(fence)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median_s = times[len(times) // 2]
+    ms_per_chunk = median_s * 1000.0 / batch
+    xrt = (audio_cfg.chunk_length * 1000.0) / ms_per_chunk  # x real-time per chip
+    print(
+        f"[bench] batch={batch} median={median_s*1000:.2f}ms "
+        f"-> {ms_per_chunk:.2f} ms/chunk ({xrt:.0f}x real-time/chip)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "chunk_latency",
+                "value": round(ms_per_chunk, 3),
+                "unit": "ms/chunk",
+                "vs_baseline": round(BASELINE_MS / ms_per_chunk, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Host input pipeline: batching, collation, threaded prefetch, device feed.
+
+The role of torch DataLoader + pin_memory in the reference
+(reference scripts/train_cnn.py:257-276, train/train_transcriber.py:23-39),
+built for the TPU feed path:
+
+  * ``collate_mel``: pad mel/roll to the batch max T, return
+    (mel (B,1,M,T), roll (B,88,T), lengths (B,)) — reference collate_fn
+    semantics (train_transcriber.py:23-39)
+  * ``Loader``: shuffled epoch iteration with a thread pool decoding items
+    ahead of consumption (WAV decode / np.fft release the GIL)
+  * ``device_prefetch``: keeps N batches in flight on device, sharded over
+    the mesh batch axis when one is given
+
+Static-shape discipline: with ``pad_to`` set, every batch pads time to the
+same value so the jitted train step compiles once (the reference pads only
+to the per-batch max, recompiling-equivalent behavior in torch is free; on
+TPU it would trigger recompiles).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from music_transcription_tpu.config import NUM_KEYS
+
+
+def collate_mel(items: list, pad_to: int | None = None):
+    """[(mel (M,T_i), roll (88,T_i))] -> (mel (B,1,M,T), roll (B,88,T), lengths)."""
+    lengths = np.array([m.shape[-1] for m, _ in items], np.int32)
+    max_t = int(pad_to) if pad_to else int(lengths.max())
+    b = len(items)
+    n_mels = items[0][0].shape[0]
+    mel = np.zeros((b, 1, n_mels, max_t), np.float32)
+    roll = np.zeros((b, NUM_KEYS, max_t), np.float32)
+    for i, (m, r) in enumerate(items):
+        t = min(m.shape[-1], max_t)
+        mel[i, 0, :, :t] = m[:, :t]
+        tr = min(r.shape[-1], max_t)
+        roll[i, :, :tr] = r[:, :tr]
+    lengths = np.minimum(lengths, max_t)
+    return mel, roll, lengths
+
+
+def collate_tokens(items: list, pad_to: int | None = None):
+    """[(waveform (n_i,), tokens (L,))] -> (wave (B,N), tokens (B,L))
+    for the AST tier (reference train_transcriber.py:70-88)."""
+    n = max(w.shape[-1] for w, _ in items) if pad_to is None else int(pad_to)
+    b = len(items)
+    wave = np.zeros((b, n), np.float32)
+    for i, (w, _) in enumerate(items):
+        t = min(w.shape[-1], n)
+        wave[i, :t] = w[:t]
+    tokens = np.stack([np.asarray(t, np.int64) for _, t in items])
+    return wave, tokens
+
+
+class Loader:
+    """Minimal epoch loader over an indexable dataset.
+
+    Threaded item decode with bounded lookahead; deterministic order given
+    ``seed`` (reshuffled per epoch like torch's shuffle=True).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        collate=collate_mel,
+        pad_to: int | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(0, num_workers)
+        self.drop_last = drop_last
+        self.collate = collate
+        self.pad_to = pad_to
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        order = self._order()
+        self.epoch += 1
+        n_batches = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)
+        ]
+        if self.num_workers == 0:
+            for bidx in batches:
+                yield self.collate([self.dataset[int(i)] for i in bidx], pad_to=self.pad_to)
+            return
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            lookahead = max(2, self.num_workers)
+            futures = []
+            bi = 0
+
+            def submit(bidx):
+                return [pool.submit(self.dataset.__getitem__, int(i)) for i in bidx]
+
+            while bi < len(batches) and len(futures) < lookahead:
+                futures.append(submit(batches[bi]))
+                bi += 1
+            while futures:
+                fs = futures.pop(0)
+                if bi < len(batches):
+                    futures.append(submit(batches[bi]))
+                    bi += 1
+                yield self.collate([f.result() for f in fs], pad_to=self.pad_to)
+
+
+def device_prefetch(iterator, mesh=None, depth: int = 2):
+    """Move host batches to device ahead of consumption.
+
+    With a mesh, arrays are sharded on axis 0 over the data axis; otherwise
+    committed to the default device. Bounded queue keeps ``depth`` batches
+    in flight (the pin_memory/prefetch_factor analogue).
+    """
+    import jax
+
+    from music_transcription_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else jax.devices()[0]
+
+    def put(batch):
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        except BaseException as e:  # pragma: no cover
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

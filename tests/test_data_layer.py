@@ -1,0 +1,223 @@
+"""Data layer tests: MAESTRO dataset indexing/features, cache round-trips,
+hybrid fallback, loader/collation."""
+
+import numpy as np
+import pytest
+
+from music_transcription_tpu.config import AudioConfig
+from music_transcription_tpu.data import cache as C
+from music_transcription_tpu.data.maestro import MaestroDataset
+from music_transcription_tpu.data.pipeline import Loader, collate_mel, device_prefetch
+
+from tests.maestro_fixture import make_maestro_root
+
+CFG = AudioConfig(n_mels=48)
+
+
+@pytest.fixture(scope="module")
+def maestro_root(tmp_path_factory):
+    return make_maestro_root(tmp_path_factory.mktemp("maestro"))
+
+
+def test_split_filtering(maestro_root):
+    train = MaestroDataset(maestro_root, split="train", audio_cfg=CFG)
+    val = MaestroDataset(maestro_root, split="validation", audio_cfg=CFG)
+    assert len(train) == 2
+    assert len(val) == 1
+    year = MaestroDataset(maestro_root, split=None, year=2018, audio_cfg=CFG)
+    assert len(year) == 1
+    sub = MaestroDataset(maestro_root, split="train", subset_size=1, audio_cfg=CFG)
+    assert len(sub) == 1
+
+
+def test_chunk_index_semantics(maestro_root):
+    # chunk_length=2s, no overlap: 4s file -> 2 chunks; 6.5s -> 3 chunks
+    # (tail 0.5s < 50% of 2s dropped); 3s val file not included.
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    assert len(ds) == 5
+    # 50%-of-chunk tail rule: 6.5 s = 3 full + 0.5 tail -> tail dropped
+    ends = [c["end_sample"] - c["start_sample"] for c in ds.chunks]
+    assert all(e >= 16000 for e in ends)
+
+
+def test_chunk_overlap(maestro_root):
+    ds = MaestroDataset(
+        maestro_root, split="train", chunk_length=2.0, overlap=0.5, audio_cfg=CFG
+    )
+    hops = [
+        b["start_sample"] - a["start_sample"]
+        for a, b in zip(ds.chunks, ds.chunks[1:])
+        if a["file_idx"] == b["file_idx"]
+    ]
+    assert all(h == 16000 for h in hops)  # 2s chunk, 50% overlap -> 1s hop
+
+
+def test_chunk_item_shapes_and_alignment(maestro_root):
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    mel, roll = ds[0]
+    assert mel.shape[0] == 48
+    assert roll.shape[0] == 88
+    assert mel.shape[1] == roll.shape[1]  # aligned by truncation
+    # 2 s chunk: mel frames = 1 + 32000//512 = 63, roll = int(2*31.25) = 62
+    assert mel.shape[1] == 62
+    assert mel.dtype == np.float32 and roll.dtype == np.float32
+    assert set(np.unique(roll)) <= {0.0, 1.0}
+
+
+def test_chunk_roll_matches_notes(maestro_root):
+    # piece0: note 60 at 0.5-1.5s. First 2 s chunk must light pitch idx 39.
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    _, roll = ds[0]
+    idx = 60 - 21
+    active = np.nonzero(roll[idx])[0]
+    assert active.size > 0
+    fs = CFG.frame_rate
+    assert abs(active.min() / fs - 0.5) < 0.1
+    assert abs(active.max() / fs - 1.5) < 0.1
+    # no other pitch active in this chunk
+    others = np.delete(np.arange(88), idx)
+    assert roll[others].sum() == 0
+
+
+def test_full_file_mode(maestro_root):
+    ds = MaestroDataset(maestro_root, split="validation", audio_cfg=CFG)
+    mel, roll = ds[0]
+    assert mel.shape[0] == 48 and roll.shape[0] == 88
+    assert mel.shape[1] == roll.shape[1]
+
+
+def test_waveform_mode(maestro_root):
+    ds = MaestroDataset(
+        maestro_root, split="train", chunk_length=2.0, return_waveform=True, audio_cfg=CFG
+    )
+    wave, roll = ds[0]
+    assert wave.ndim == 1 and wave.shape[0] == 32000
+    assert roll.shape[0] == 88
+
+
+# ---------------------------------------------------------------------------
+# Cache
+# ---------------------------------------------------------------------------
+
+
+def test_cache_roundtrip_and_verify(maestro_root, tmp_path):
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    cache_dir = tmp_path / "cache"
+    split_dir = cache_dir / "train"
+    for i in range(len(ds)):
+        mel, roll = ds[i]
+        C.save_chunk(split_dir, i, {"mel": mel, "roll": roll})
+    C.save_metadata(
+        cache_dir,
+        "train",
+        {
+            "num_chunks": len(ds),
+            "chunk_length": 2.0,
+            "overlap": 0.0,
+            "n_mels": 48,
+            "sr": 16000,
+            "hop_length": 512,
+            "return_waveform": False,
+            "tokenize": False,
+        },
+    )
+    ok, msg = C.verify_cache(cache_dir, "train")
+    assert ok, msg
+
+    cds = C.CachedMaestroDataset(cache_dir, "train", verbose=False)
+    assert len(cds) == len(ds)
+    mel_c, roll_c = cds[0]
+    mel_r, roll_r = ds[0]
+    assert np.allclose(mel_c, mel_r)
+    assert np.array_equal(roll_c, roll_r)
+
+
+def test_cache_reads_reference_pt_format(tmp_path):
+    import torch
+
+    split_dir = tmp_path / "ptcache" / "train"
+    split_dir.mkdir(parents=True)
+    mel = np.random.default_rng(0).standard_normal((1, 48, 63)).astype(np.float32)
+    roll = np.zeros((88, 62), np.float32)
+    torch.save(
+        {"mel": torch.from_numpy(mel), "roll": torch.from_numpy(roll)},
+        split_dir / "chunk_000000.pt",
+    )
+    C.save_metadata(
+        tmp_path / "ptcache", "train",
+        {"num_chunks": 1, "chunk_length": 2.0, "overlap": 0.0, "n_mels": 48,
+         "sr": 16000, "hop_length": 512, "return_waveform": False, "tokenize": False},
+    )
+    cds = C.CachedMaestroDataset(tmp_path / "ptcache", "train", verbose=False)
+    mel_out, roll_out = cds[0]
+    assert mel_out.shape == (48, 63)  # (1,M,T) squeezed
+    assert np.allclose(mel_out, mel[0])
+
+
+def test_hybrid_fallback(maestro_root, tmp_path):
+    h = C.HybridMaestroDataset(
+        maestro_root, cache_dir=str(tmp_path / "nope"), split="train",
+        chunk_length=2.0, audio_cfg=CFG, verbose=False,
+    )
+    assert not h.use_cache
+    assert len(h) == 5
+
+
+def test_missing_cache_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        C.CachedMaestroDataset(tmp_path / "absent", "train", verbose=False)
+
+
+# ---------------------------------------------------------------------------
+# Loader / collate
+# ---------------------------------------------------------------------------
+
+
+def test_collate_pads_and_lengths():
+    items = [
+        (np.ones((48, 10), np.float32), np.ones((88, 10), np.float32)),
+        (np.ones((48, 7), np.float32), np.ones((88, 7), np.float32)),
+    ]
+    mel, roll, lengths = collate_mel(items)
+    assert mel.shape == (2, 1, 48, 10)
+    assert roll.shape == (2, 88, 10)
+    assert lengths.tolist() == [10, 7]
+    assert mel[1, 0, :, 7:].sum() == 0  # padding is zero
+    mel2, _, l2 = collate_mel(items, pad_to=16)
+    assert mel2.shape[-1] == 16 and l2.tolist() == [10, 7]
+
+
+def test_loader_batches(maestro_root):
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=1, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 5 chunks -> 2+2+1
+    assert batches[0][0].shape[0] == 2
+    assert batches[-1][0].shape[0] == 1
+    # epoch reshuffle changes order but not multiset of lengths
+    b2 = list(loader)
+    assert len(b2) == 3
+
+
+def test_loader_deterministic_given_seed(maestro_root):
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    l1 = Loader(ds, batch_size=2, shuffle=True, seed=7, num_workers=0)
+    l2 = Loader(ds, batch_size=2, shuffle=True, seed=7, num_workers=0)
+    for (m1, _, _), (m2, _, _) in zip(l1, l2):
+        assert np.array_equal(m1, m2)
+
+
+def test_device_prefetch_sharded(maestro_root):
+    import jax
+
+    from music_transcription_tpu.parallel.mesh import make_mesh
+
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    loader = Loader(ds, batch_size=4, num_workers=0, drop_last=True, pad_to=64)
+    mesh = make_mesh(4)
+    out = list(device_prefetch(iter(loader), mesh=mesh))
+    assert len(out) == 1
+    mel, roll, lengths = out[0]
+    assert isinstance(mel, jax.Array)
+    assert mel.shape == (4, 1, 48, 64)
+    assert len(mel.sharding.device_set) == 4
