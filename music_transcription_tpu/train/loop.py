@@ -1,0 +1,234 @@
+"""Training loop: epochs, validation, checkpoints, run artifacts.
+
+The orchestration layer of the reference (reference train/train_transcriber.py:90-332,
+scripts/train_cnn.py:257-359) rebuilt around the jitted data-parallel step:
+
+  * one compiled train step per run (batches pad to a fixed T), fed by the
+    threaded host loader + device prefetch
+  * NaN-skip accounting on host: the in-step guard suppresses bad updates;
+    more than ``max_nan_batches`` skipped batches aborts
+    (reference train_transcriber.py:123-127)
+  * checkpoint cadence: ``model_epoch_N`` every ``save_every``,
+    ``model_best`` on val-loss improvement, ``model_final`` at the end
+    (reference scripts/train_cnn.py:345-359) — orbax checkpoints carrying
+    params + batch_stats + opt_state + step (full resume, unlike the
+    reference's weights-only .pth)
+  * run artifacts: manifest JSON (parameters.txt analogue), training_log.txt
+    per-epoch lines, loss_curve.png / loss_per_step.png
+    (reference scripts/train_cnn.py:20-62,228-255,314-342)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from music_transcription_tpu.config import (
+    AudioConfig,
+    ModelConfig,
+    TrainConfig,
+    config_to_dict,
+)
+from music_transcription_tpu.data.pipeline import device_prefetch
+from music_transcription_tpu.parallel.mesh import make_mesh, replicate
+from music_transcription_tpu.parallel.train_step import (
+    init_train_state,
+    jit_data_parallel,
+    make_eval_step,
+    make_train_step,
+)
+from music_transcription_tpu.train import checkpoints as ckpt_lib
+from music_transcription_tpu.train.optim import make_optimizer
+
+
+class TrainingUnstableError(RuntimeError):
+    pass
+
+
+def train_one_epoch(step_fn, state, loader, rng, *, mesh=None, max_nan: int = 10,
+                    nan_count_start: int = 0, log_every: int = 50, verbose: bool = True):
+    """Run one epoch; returns (state, avg_loss, step_losses, nan_count)."""
+    total, step_losses = 0.0, []
+    nan_count = nan_count_start
+    t_start = time.perf_counter()
+    for i, batch in enumerate(device_prefetch(iter(loader), mesh=mesh)):
+        state, metrics = step_fn(state, batch, rng)
+        loss = float(metrics["loss"])
+        if float(metrics["skipped"]) > 0:
+            nan_count += 1
+            if verbose:
+                print(f"\n⚠ Warning: NaN/Inf loss detected (count: {nan_count}), update skipped")
+            if nan_count > max_nan:
+                raise TrainingUnstableError("Too many NaN losses - training unstable!")
+            continue
+        total += loss
+        step_losses.append(loss)
+        if verbose and (i + 1) % log_every == 0:
+            rate = (i + 1) / (time.perf_counter() - t_start)
+            print(
+                f"  step {i+1}/{len(loader)} loss={loss:.4f} "
+                f"grad_norm={float(metrics['grad_norm']):.2f} ({rate:.2f} it/s)"
+            )
+    avg = total / max(1, len(step_losses))
+    return state, avg, step_losses, nan_count
+
+
+def evaluate(eval_fn, state, loader, *, mesh=None) -> float:
+    total, n = 0.0, 0
+    for batch in device_prefetch(iter(loader), mesh=mesh):
+        total += float(eval_fn(state, batch))
+        n += 1
+    return total / max(1, n)
+
+
+def _plot_curves(run_dir, train_losses, val_losses, all_step_losses):
+    """loss_curve.png + loss_per_step.png (reference scripts/train_cnn.py:20-62)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return
+    epochs = np.arange(1, len(train_losses) + 1)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(epochs, train_losses, label="train")
+    if val_losses:
+        ax.plot(epochs, val_losses, label="val")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(os.path.join(run_dir, "loss_curve.png"), dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+    flat = [l for ep in all_step_losses for l in ep]
+    if flat:
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.plot(flat, lw=0.6)
+        pos = 0
+        for ep in all_step_losses[:-1]:
+            pos += len(ep)
+            ax.axvline(pos, color="gray", ls="--", lw=0.5)
+        ax.set_xlabel("step")
+        ax.set_ylabel("loss")
+        ax.grid(alpha=0.3)
+        fig.savefig(os.path.join(run_dir, "loss_per_step.png"), dpi=100, bbox_inches="tight")
+        plt.close(fig)
+
+
+def train_model(
+    *,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    audio_cfg: AudioConfig,
+    train_loader,
+    val_loader=None,
+    run_dir: str = "outputs/run",
+    resume_from: str | None = None,
+    start_epoch: int = 1,
+    mesh=None,
+    verbose: bool = True,
+):
+    """Full training driver. Returns (model, state, history)."""
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    if mesh is None:
+        n = train_cfg.data_parallel or len(jax.devices())
+        mesh = make_mesh(n) if n > 1 else None
+    if mesh is not None and train_cfg.batch_size % mesh.size != 0:
+        raise ValueError(
+            f"batch_size={train_cfg.batch_size} must divide the mesh ({mesh.size} devices)"
+        )
+
+    model = TranscriptionModel(model_cfg)
+    tx = make_optimizer(train_cfg)
+    state = init_train_state(
+        model, tx, jax.random.key(train_cfg.seed), model.example_input(batch=1, t=64)
+    )
+    if resume_from:
+        state = ckpt_lib.load_checkpoint(resume_from, like=state)
+        if verbose:
+            print(f"Resumed from {resume_from} at step {int(state['step'])}")
+    if mesh is not None:
+        state = replicate(state, mesh)
+        step_fn = jit_data_parallel(make_train_step(model, tx), mesh)
+        eval_fn = jit_data_parallel(
+            make_eval_step(model), mesh, donate_state=False, n_args=2
+        )
+    else:
+        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+        eval_fn = jax.jit(make_eval_step(model))
+
+    # Run manifest (parameters.txt analogue)
+    manifest = {
+        "model": config_to_dict(model_cfg),
+        "train": config_to_dict(train_cfg),
+        "audio": config_to_dict(audio_cfg),
+        "devices": [str(d) for d in (mesh.devices.flatten() if mesh else jax.devices()[:1])],
+        "start_epoch": start_epoch,
+    }
+    with open(os.path.join(run_dir, "parameters.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    def save(name, st):
+        path = os.path.join(ckpt_dir, name)
+        host_state = jax.tree.map(np.asarray, st)
+        ckpt_lib.save_checkpoint(path, host_state)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump({"model": config_to_dict(model_cfg), "audio": config_to_dict(audio_cfg)}, f)
+        return path
+
+    log_path = os.path.join(run_dir, "training_log.txt")
+    best_val = float("inf")
+    history = {"train_loss": [], "val_loss": [], "step_losses": []}
+    rng = jax.random.key(train_cfg.seed + 1)
+    nan_count = 0
+
+    for epoch in range(start_epoch, train_cfg.epochs + 1):
+        if verbose:
+            print(f"\nEpoch {epoch}/{train_cfg.epochs}")
+        t0 = time.perf_counter()
+        state, train_loss, step_losses, nan_count = train_one_epoch(
+            step_fn, state, train_loader, rng, mesh=mesh,
+            max_nan=train_cfg.max_nan_batches, nan_count_start=nan_count, verbose=verbose,
+        )
+        epoch_time = time.perf_counter() - t0
+        val_loss = (
+            evaluate(eval_fn, state, val_loader, mesh=mesh) if val_loader is not None else None
+        )
+
+        history["train_loss"].append(train_loss)
+        history["step_losses"].append(step_losses)
+        if val_loss is not None:
+            history["val_loss"].append(val_loss)
+
+        line = (
+            f"epoch {epoch} train_loss={train_loss:.6f} "
+            f"val_loss={'-' if val_loss is None else f'{val_loss:.6f}'} "
+            f"time={epoch_time:.1f}s"
+        )
+        if verbose:
+            print(line)
+        with open(log_path, "a") as f:
+            f.write(line + "\n")
+
+        if val_loss is not None and val_loss < best_val:
+            best_val = val_loss
+            save("model_best", state)
+            if verbose:
+                print(f"Saved new best model (val_loss={val_loss:.6f})")
+        if train_cfg.save_every and epoch % train_cfg.save_every == 0:
+            save(f"model_epoch_{epoch}", state)
+        _plot_curves(run_dir, history["train_loss"], history["val_loss"], history["step_losses"])
+
+    save("model_final", state)
+    return model, state, history
