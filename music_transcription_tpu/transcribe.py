@@ -63,9 +63,9 @@ def load_model(checkpoint_path, model_cfg: ModelConfig | None = None,
     if os.path.isdir(path):
         from music_transcription_tpu.train.checkpoints import load_checkpoint
 
-        like = model.init(jax.random.key(0))
-        like = {k: like[k] for k in ("params", "batch_stats") if k in like}
-        payload = load_checkpoint(path, like=like)
+        # Restore the full saved tree (it may carry opt_state/step from a
+        # training run) and keep only the inference variables.
+        payload = load_checkpoint(path)
         variables = {k: payload[k] for k in ("params", "batch_stats") if k in payload}
     else:
         from music_transcription_tpu.train.checkpoints import load_torch_checkpoint

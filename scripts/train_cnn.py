@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Training CLI for the CNN-RNN transcription models.
+
+Surface of reference scripts/train_cnn.py:64-363: dataset/training/model/
+execution argument groups, hybrid cache-or-raw datasets, cache n_mels
+validation, run directory with checkpoints + logs + loss curves, resume,
+background self-respawn.
+
+    python scripts/train_cnn.py --root_dir maestro-v3.0.0 --cache_dir cached \
+        --model_type cnn_rnn_large --n_mels 320 --epochs 100 --batch_size 24
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train a transcription model (TPU-native)")
+    d = p.add_argument_group("dataset")
+    d.add_argument("--root_dir", type=str, default="maestro-v3.0.0")
+    d.add_argument("--cache_dir", type=str, default=None,
+                   help="preprocessed cache directory (auto-detected name if omitted)")
+    d.add_argument("--year", type=str, default=None)
+    d.add_argument("--subset_size", type=int, default=None, help="Quick debug run")
+
+    t = p.add_argument_group("training")
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--batch_size", type=int, default=24)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--weight_decay", type=float, default=1e-5)
+    t.add_argument("--chunk_length", type=float, default=30.0)
+    t.add_argument("--chunk_overlap", type=float, default=0.0)
+    t.add_argument("--save_every", type=int, default=5)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--num_workers", type=int, default=8)
+
+    m = p.add_argument_group("model")
+    m.add_argument("--model_type", type=str, default="cnn_rnn_large",
+                   choices=["cnn_rnn", "cnn_rnn_large"])
+    m.add_argument("--n_mels", type=int, default=320)
+    m.add_argument("--hidden_size", type=int, default=512)
+    m.add_argument("--num_layers", type=int, default=3)
+    m.add_argument("--dropout", type=float, default=0.2)
+    m.add_argument("--no_attention", action="store_true")
+    m.add_argument("--no_onset_offset_heads", action="store_true")
+    m.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+    e = p.add_argument_group("execution")
+    e.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
+    e.add_argument("--data_parallel", type=int, default=None,
+                   help="number of data-parallel devices (default: all)")
+    e.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
+    e.add_argument("--run_dir", type=str, default=None)
+    e.add_argument("--out_root", type=str, default="outputs")
+    e.add_argument("--background", action="store_true",
+                   help="re-spawn detached with logs redirected")
+    return p
+
+
+def spawn_background(args, run_dir):
+    """Detached self-respawn (reference scripts/train_cnn.py:123-154)."""
+    os.makedirs(run_dir, exist_ok=True)
+    log_path = os.path.join(run_dir, "train.log")
+    argv = [a for a in sys.argv[1:] if a != "--background"]
+    argv += ["--run_dir", run_dir]
+    with open(log_path, "a") as log:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            stdout=log, stderr=subprocess.STDOUT, start_new_session=True,
+        )
+    print(f"Training started in background (pid {proc.pid})")
+    print(f"Logs: {log_path}")
+    print(f"Check: ps aux | grep {proc.pid}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.run_dir is None:
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        args.run_dir = os.path.join(args.out_root, timestamp)
+    if args.background:
+        spawn_background(args, args.run_dir)
+        return 0
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from music_transcription_tpu.config import (
+        AudioConfig, CompatibilityError, ModelConfig, TrainConfig, validate_compatibility,
+    )
+    from music_transcription_tpu.data.cache import HybridMaestroDataset, load_metadata, metadata_path
+    from music_transcription_tpu.data.pipeline import Loader
+    from music_transcription_tpu.train.checkpoints import epoch_from_checkpoint_name
+    from music_transcription_tpu.train.loop import train_model
+
+    audio_cfg = AudioConfig(n_mels=args.n_mels, chunk_length=args.chunk_length)
+    model_cfg = ModelConfig(
+        model_type=args.model_type,
+        n_mels=args.n_mels,
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        dropout=args.dropout,
+        use_attention=not args.no_attention,
+        use_onset_offset_heads=not args.no_onset_offset_heads,
+        compute_dtype=args.compute_dtype,
+    )
+    train_cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay,
+        chunk_length=args.chunk_length,
+        chunk_overlap=args.chunk_overlap,
+        save_every=args.save_every,
+        seed=args.seed,
+        data_parallel=args.data_parallel,
+        num_workers=args.num_workers,
+    )
+
+    if args.cache_dir is None:
+        auto = "cached_dataset" if args.n_mels == 229 else f"cached_dataset_mels{args.n_mels}"
+        args.cache_dir = auto
+
+    # Cache/model n_mels validation (reference scripts/train_cnn.py:208-225)
+    if os.path.exists(metadata_path(args.cache_dir, "train")):
+        meta = load_metadata(args.cache_dir, "train")
+        try:
+            for w in validate_compatibility(
+                model_n_mels=args.n_mels, cache_meta=meta, audio=audio_cfg
+            ):
+                print(f"Warning: {w}")
+        except CompatibilityError as exc:
+            print(f"Error: {exc}")
+            return 1
+
+    common = dict(
+        root_dir=args.root_dir, cache_dir=args.cache_dir,
+        chunk_length=args.chunk_length, audio_cfg=audio_cfg,
+        year=args.year, subset_size=args.subset_size,
+    )
+    train_set = HybridMaestroDataset(split="train", overlap=args.chunk_overlap, **common)
+    val_set = HybridMaestroDataset(split="validation", overlap=0.0, **common)
+    print(f"Train set size: {len(train_set)} chunks")
+    print(f"Validation set size: {len(val_set)} chunks")
+
+    pad_to = audio_cfg.mel_frames_per_chunk  # fixed-shape batches: one compile
+    train_loader = Loader(
+        train_set, args.batch_size, shuffle=True, seed=args.seed,
+        num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
+    )
+    val_loader = Loader(
+        val_set, args.batch_size, num_workers=max(1, args.num_workers // 2),
+        drop_last=True, pad_to=pad_to,
+    )
+    if len(val_loader) == 0:
+        val_loader = None
+
+    start_epoch = 1
+    if args.resume:
+        parsed = epoch_from_checkpoint_name(args.resume)
+        if parsed is not None:
+            start_epoch = parsed + 1
+            print(f"Resuming from epoch {parsed}; starting at {start_epoch}")
+
+    train_model(
+        model_cfg=model_cfg,
+        train_cfg=train_cfg,
+        audio_cfg=audio_cfg,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        run_dir=args.run_dir,
+        resume_from=args.resume,
+        start_epoch=start_epoch,
+    )
+    print(f"\nTraining complete. Artifacts in {args.run_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,98 @@
+"""End-to-end training loop + train_cnn CLI tests on the synthetic fixture."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from music_transcription_tpu.config import AudioConfig, ModelConfig, TrainConfig
+from music_transcription_tpu.data.maestro import MaestroDataset
+from music_transcription_tpu.data.pipeline import Loader
+from music_transcription_tpu.train.loop import train_model
+
+from tests.maestro_fixture import make_maestro_root
+
+CFG = AudioConfig(n_mels=32, chunk_length=2.0)
+
+
+@pytest.fixture(scope="module")
+def maestro_root(tmp_path_factory):
+    return make_maestro_root(tmp_path_factory.mktemp("maestro"))
+
+
+def test_train_model_end_to_end(maestro_root, tmp_path):
+    mcfg = ModelConfig(
+        model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+        dropout=0.0, compute_dtype="float32",
+    )
+    tcfg = TrainConfig(epochs=2, batch_size=2, learning_rate=1e-3, save_every=1,
+                       data_parallel=1, num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    val_set = MaestroDataset(maestro_root, split="validation", chunk_length=2.0, audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    train_loader = Loader(train_set, 2, shuffle=True, num_workers=0, drop_last=True, pad_to=pad_to)
+    val_loader = Loader(val_set, 1, num_workers=0, pad_to=pad_to)
+
+    run_dir = str(tmp_path / "run")
+    model, state, history = train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=train_loader, val_loader=val_loader,
+        run_dir=run_dir, verbose=False,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(l) for l in history["train_loss"])
+    # artifacts
+    assert os.path.exists(os.path.join(run_dir, "parameters.json"))
+    assert os.path.exists(os.path.join(run_dir, "training_log.txt"))
+    assert os.path.exists(os.path.join(run_dir, "loss_curve.png"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "model_final"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "model_best"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "model_epoch_1"))
+    # checkpoints load back for inference
+    from music_transcription_tpu.transcribe import load_model
+
+    loaded = load_model(os.path.join(run_dir, "checkpoints", "model_best"))
+    assert loaded.model.config.n_mels == 32
+
+
+def test_train_model_data_parallel_mesh(maestro_root, tmp_path):
+    from music_transcription_tpu.parallel.mesh import make_mesh
+
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+                       dropout=0.0, compute_dtype="float32")
+    tcfg = TrainConfig(epochs=1, batch_size=4, learning_rate=1e-3, save_every=0, num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    loader = Loader(train_set, 4, shuffle=True, num_workers=0, drop_last=True,
+                    pad_to=CFG.mel_frames_per_chunk)
+    _, state, history = train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=loader, val_loader=None,
+        run_dir=str(tmp_path / "dp_run"), mesh=make_mesh(4), verbose=False,
+    )
+    assert len(history["train_loss"]) == 1
+    assert np.isfinite(history["train_loss"][0])
+    assert int(state["step"]) == 1  # 5 chunks, bs 4, drop_last -> 1 step
+
+
+def test_train_cnn_cli_smoke(maestro_root, tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run_dir = tmp_path / "cli_run"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "scripts", "train_cnn.py"),
+            "--root_dir", str(maestro_root), "--cache_dir", str(tmp_path / "absent"),
+            "--model_type", "cnn_rnn", "--n_mels", "32", "--hidden_size", "8",
+            "--num_layers", "1", "--chunk_length", "2.0", "--epochs", "1",
+            "--batch_size", "2", "--save_every", "1", "--num_workers", "0",
+            "--compute_dtype", "float32", "--device", "cpu", "--data_parallel", "1",
+            "--run_dir", str(run_dir),
+        ],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "Training complete" in proc.stdout
+    assert (run_dir / "checkpoints" / "model_final").is_dir()
