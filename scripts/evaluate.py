@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Evaluation CLI: framewise F1 over a split, with threshold tuning.
+
+Surface of reference scripts/evaluate.py:762-1071: cache/raw auto-detection,
+model-config autodetect from checkpoint/cache metadata, normal mode (summary
+txt + per-sample MIDIs + confusion matrix PNG), --headless (prints exactly
+``EVAL_MEAN_F1=<v>``), coarse-to-fine --tune_threshold, --dry_run,
+--show_results, --verify_compatibility, --background.
+
+TPU improvement over the reference: probabilities are computed once in
+device batches; every threshold in the tuning sweep reuses them
+(the reference recomputes the full forward per candidate,
+scripts/evaluate.py:524-553).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Evaluate a transcription model (framewise F1)")
+    p.add_argument("--model", type=str, required=False, help="checkpoint (.pth or orbax dir)")
+    p.add_argument("--split", type=str, default="test", choices=["train", "validation", "test"])
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--subset", type=int, default=None, help="evaluate only N samples")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--root_dir", type=str, default="maestro-v3.0.0")
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default="eval_outputs")
+    p.add_argument("--no_midi", action="store_true")
+    p.add_argument("--midi_limit", type=int, default=50)
+    p.add_argument("--headless", action="store_true",
+                   help="print only EVAL_MEAN_F1=<v> (for scripts/benchmarks)")
+    p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
+    # model config overrides (autodetected from checkpoint sidecar when present)
+    p.add_argument("--model_type", type=str, default=None)
+    p.add_argument("--n_mels", type=int, default=None)
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--num_layers", type=int, default=None)
+    # threshold tuning (reference scripts/evaluate.py:556-618)
+    p.add_argument("--tune_threshold", action="store_true")
+    p.add_argument("--tune_rounds", type=int, default=6)
+    p.add_argument("--tune_range", type=float, nargs=2, default=[0.05, 0.95])
+    p.add_argument("--tune_step", type=float, default=0.1)
+    p.add_argument("--tune_min_step", type=float, default=0.01)
+    # modes
+    p.add_argument("--dry_run", action="store_true")
+    p.add_argument("--show_results", type=str, default=None, metavar="RUN_DIR")
+    p.add_argument("--verify_compatibility", action="store_true")
+    p.add_argument("--background", action="store_true")
+    return p
+
+
+def detect_data_source(args):
+    """cache if a matching metadata pickle exists, else raw
+    (reference scripts/evaluate.py:103-126)."""
+    from music_transcription_tpu.data.cache import metadata_path
+
+    if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
+        return "cache", args.cache_dir
+    for cand in ("cached_dataset_mels320", "cached_dataset"):
+        if args.cache_dir is None and os.path.exists(metadata_path(cand, args.split)):
+            return "cache", cand
+    return "raw", args.root_dir
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.show_results:
+        path = os.path.join(args.show_results, "eval_summary.txt")
+        if not os.path.exists(path):
+            print(f"Error: Summary file not found: {path}")
+            return 1
+        print(open(path).read())
+        return 0
+
+    if args.model is None:
+        print("Error: --model is required")
+        return 1
+
+    if args.background:
+        os.makedirs(args.out_dir, exist_ok=True)
+        log_path = os.path.join(
+            args.out_dir, f"eval_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}.log"
+        )
+        argv_bg = [a for a in sys.argv[1:] if a != "--background"]
+        with open(log_path, "a") as log:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)] + argv_bg,
+                stdout=log, stderr=subprocess.STDOUT, start_new_session=True,
+            )
+        print(f"Evaluation started in background (pid {proc.pid}); logs: {log_path}")
+        return 0
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from music_transcription_tpu import eval as E
+    from music_transcription_tpu.config import (
+        AudioConfig, CompatibilityError, ModelConfig, validate_compatibility,
+    )
+    from music_transcription_tpu.data.cache import CachedMaestroDataset, load_metadata
+    from music_transcription_tpu.data.maestro import MaestroDataset
+    from music_transcription_tpu.data.pipeline import Loader
+    from music_transcription_tpu.transcribe import load_model
+
+    source, source_path = detect_data_source(args)
+
+    # Model config: sidecar (orbax) else CLI overrides else shipped defaults.
+    overrides = {}
+    for k in ("model_type", "n_mels", "hidden_size", "num_layers"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    model_cfg = ModelConfig(**overrides) if overrides else None
+    loaded = load_model(args.model, model_cfg=model_cfg)
+    audio_cfg = loaded.audio_cfg
+    n_mels = loaded.model.config.n_mels
+
+    if source == "cache":
+        meta = load_metadata(source_path, args.split)
+        try:
+            for w in validate_compatibility(model_n_mels=n_mels, cache_meta=meta, audio=audio_cfg):
+                print(f"Warning: {w}")
+        except CompatibilityError as exc:
+            print(f"Error: {exc}")
+            return 1
+        if args.verify_compatibility:
+            print("Compatibility check passed.")
+            return 0
+        dataset = CachedMaestroDataset(source_path, args.split, verbose=not args.headless)
+    else:
+        if args.verify_compatibility:
+            print("Raw data source; nothing to verify beyond file presence.")
+            return 0
+        dataset = MaestroDataset(
+            source_path, split=args.split, chunk_length=audio_cfg.chunk_length,
+            audio_cfg=AudioConfig(n_mels=n_mels, chunk_length=audio_cfg.chunk_length),
+        )
+
+    n_total = len(dataset)
+    n_eval = min(args.subset, n_total) if args.subset else n_total
+
+    if args.dry_run:
+        print("=" * 70)
+        print("MODEL EVALUATION - DRY RUN")
+        print("=" * 70)
+        print(f"Checkpoint:  {args.model}")
+        print(f"Model type:  {loaded.model.config.model_type}")
+        print(f"n_mels:      {n_mels}")
+        print(f"Split:       {args.split}")
+        print(f"Data source: {source} ({source_path})")
+        print(f"Samples:     {n_eval}{f' (of {n_total})' if n_eval != n_total else ''}")
+        print(f"Threshold:   {args.threshold}")
+        if args.tune_threshold:
+            print(f"Tuning:      rounds={args.tune_rounds} range={args.tune_range} "
+                  f"step={args.tune_step} min_step={args.tune_min_step}")
+        print("This is a DRY RUN - no evaluation will be performed.")
+        return 0
+
+    if args.subset:
+        class _Subset:
+            def __init__(self, ds, n):
+                self.ds, self.n = ds, n
+            def __len__(self):
+                return self.n
+            def __getitem__(self, i):
+                return self.ds[i]
+        dataset = _Subset(dataset, n_eval)
+
+    loader = Loader(dataset, args.batch_size, num_workers=4,
+                    pad_to=audio_cfg.mel_frames_per_chunk)
+    cached = E.predict_probs(loaded.model, loaded.variables, loader,
+                             verbose=not args.headless)
+
+    if args.tune_threshold:
+        best_t, best_f1 = E.tune_threshold(
+            cached, rounds=args.tune_rounds, tune_range=tuple(args.tune_range),
+            step=args.tune_step, min_step=args.tune_min_step, verbose=not args.headless,
+        )
+        if args.headless:
+            print(f"EVAL_BEST_THRESHOLD={best_t:.6f}")
+            print(f"EVAL_MEAN_F1={best_f1:.6f}")
+            return 0
+        print(f"Best threshold: {best_t:.6f}\nBest mean F1:   {best_f1:.6f}")
+        args.threshold = best_t
+
+    f1_scores = E.per_sample_f1(cached, args.threshold)
+    mean = float(f1_scores.mean()) if f1_scores.size else 0.0
+
+    if args.headless:
+        print(f"EVAL_MEAN_F1={mean:.6f}")
+        return 0
+
+    run_dir = os.path.join(args.out_dir, datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    E.write_summary(
+        os.path.join(run_dir, "eval_summary.txt"), f1_scores, args.threshold,
+        extra={"model": args.model, "split": args.split, "source": source},
+    )
+    E.plot_confusion(
+        os.path.join(run_dir, "confusion_matrix.png"),
+        E.global_confusion(cached, args.threshold),
+    )
+    if not args.no_midi:
+        E.write_sample_midis(
+            cached, args.threshold, os.path.join(run_dir, "midis"),
+            fs=audio_cfg.frame_rate, limit=args.midi_limit,
+        )
+    print(f"Mean F1: {mean:.6f} over {len(f1_scores)} samples")
+    print(f"Results written to {run_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""Evaluation tests: F1 equals sklearn, tuning schedule, CLI surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from music_transcription_tpu import eval as E
+from music_transcription_tpu.eval import CachedPredictions
+
+
+def _fake_cached(n=4, t=30, seed=0):
+    rng = np.random.default_rng(seed)
+    probs, targets = [], []
+    for _ in range(n):
+        probs.append(rng.random((88, t)).astype(np.float16))
+        targets.append(rng.random((88, t)) > 0.8)
+    return CachedPredictions(probs=probs, targets=targets, lengths=[t] * n)
+
+
+def test_f1_matches_sklearn():
+    from sklearn.metrics import f1_score
+
+    cached = _fake_cached()
+    for thr in (0.3, 0.5, 0.7):
+        ours = E.per_sample_f1(cached, thr)
+        for i in range(len(cached.probs)):
+            ref = f1_score(
+                cached.targets[i].flatten().astype(int),
+                (cached.probs[i] > thr).flatten().astype(int),
+                zero_division=0,
+            )
+            assert ours[i] == pytest.approx(ref, abs=1e-12)
+
+
+def test_f1_zero_division():
+    cached = CachedPredictions(
+        probs=[np.zeros((88, 5), np.float16)], targets=[np.zeros((88, 5), bool)], lengths=[5]
+    )
+    assert E.mean_f1(cached, 0.5) == 0.0
+
+
+def test_grid_matches_pointwise():
+    cached = _fake_cached()
+    grid = np.array([0.2, 0.5, 0.8])
+    vec = E.grid_mean_f1(cached, grid)
+    for k, thr in enumerate(grid):
+        assert vec[k] == pytest.approx(E.mean_f1(cached, thr), abs=1e-12)
+
+
+def test_tune_threshold_finds_separator():
+    # Construct probs where threshold 0.65 is clearly optimal:
+    # positives ~0.9, negatives ~0.4 with some noise overlap below 0.65.
+    rng = np.random.default_rng(1)
+    probs, targets = [], []
+    for _ in range(3):
+        t = rng.random((88, 40)) > 0.7
+        p = np.where(t, 0.9, 0.4) + rng.normal(0, 0.05, t.shape)
+        probs.append(np.clip(p, 0, 1).astype(np.float16))
+        targets.append(t)
+    cached = CachedPredictions(probs=probs, targets=targets, lengths=[40] * 3)
+    best_t, best_f1 = E.tune_threshold(cached, verbose=False)
+    assert 0.45 < best_t < 0.85
+    assert best_f1 > 0.99
+
+
+def test_confusion_counts():
+    probs = [np.array([[0.9, 0.1], [0.8, 0.2]], np.float16)]
+    targets = [np.array([[True, False], [False, True]])]
+    cached = CachedPredictions(probs=probs, targets=targets, lengths=[2])
+    cm = E.global_confusion(cached, 0.5)
+    # preds: [[1,0],[1,0]]; targets [[1,0],[0,1]] -> tp=1 fp=1 fn=1 tn=1
+    assert cm.tolist() == [[1, 1], [1, 1]]
+
+
+def test_write_summary(tmp_path):
+    f1 = np.array([0.1, 0.9, 0.5])
+    path = tmp_path / "eval_summary.txt"
+    E.write_summary(path, f1, 0.5, extra={"model": "x"})
+    text = path.read_text()
+    assert "mean F1: 0.5" in text
+    assert "Worst" in text and "Best" in text
+
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    """Tiny checkpoint + cache for CLI tests."""
+    import jax
+
+    from music_transcription_tpu.config import AudioConfig, ModelConfig, config_to_dict
+    from music_transcription_tpu.data import cache as C
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+    from music_transcription_tpu.train.checkpoints import save_checkpoint
+
+    d = tmp_path_factory.mktemp("evalcli")
+    acfg = AudioConfig(n_mels=32, chunk_length=2.0)
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+                       compute_dtype="float32")
+    model = TranscriptionModel(mcfg)
+    variables = model.init(jax.random.key(0), model.example_input(batch=1, t=8))
+    ckpt = d / "ckpt"
+    save_checkpoint(ckpt, dict(variables))
+    with open(ckpt / "config.json", "w") as f:
+        json.dump({"model": config_to_dict(mcfg), "audio": config_to_dict(acfg)}, f)
+
+    cache_dir = d / "cache"
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        C.save_chunk(cache_dir / "test", i, {
+            "mel": rng.standard_normal((32, 62)).astype(np.float32),
+            "roll": (rng.random((88, 62)) > 0.9).astype(np.float32),
+        })
+    C.save_metadata(cache_dir, "test", {
+        "num_chunks": 3, "chunk_length": 2.0, "overlap": 0.0, "n_mels": 32,
+        "sr": 16000, "hop_length": 512, "return_waveform": False, "tokenize": False,
+    })
+    return d, ckpt, cache_dir
+
+
+def _run_eval(args, cwd):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "evaluate.py"), "--device", "cpu"] + args,
+        capture_output=True, text=True, env=env, timeout=600, cwd=str(cwd),
+    )
+
+
+def test_evaluate_cli_headless(eval_setup):
+    d, ckpt, cache_dir = eval_setup
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
+         "--headless", "--batch_size", "2"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("EVAL_MEAN_F1=")]
+    assert len(lines) == 1
+    float(lines[0].split("=")[1])  # parseable
+
+
+def test_evaluate_cli_dry_run(eval_setup):
+    d, ckpt, cache_dir = eval_setup
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test", "--dry_run"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "DRY RUN" in proc.stdout
+    assert "Samples:     3" in proc.stdout
+
+
+def test_evaluate_cli_full_and_show_results(eval_setup):
+    d, ckpt, cache_dir = eval_setup
+    out_dir = d / "eval_out"
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
+         "--out_dir", str(out_dir), "--subset", "2", "--midi_limit", "2"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    runs = os.listdir(out_dir)
+    assert len(runs) == 1
+    run_dir = out_dir / runs[0]
+    assert (run_dir / "eval_summary.txt").exists()
+    assert (run_dir / "confusion_matrix.png").exists()
+    assert len(os.listdir(run_dir / "midis")) == 2
+
+    proc2 = _run_eval(["--show_results", str(run_dir)], d)
+    assert proc2.returncode == 0
+    assert "EVALUATION SUMMARY" in proc2.stdout
+
+
+def test_evaluate_cli_tuning_headless(eval_setup):
+    d, ckpt, cache_dir = eval_setup
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
+         "--headless", "--tune_threshold", "--tune_rounds", "2"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "EVAL_BEST_THRESHOLD=" in proc.stdout
+    assert "EVAL_MEAN_F1=" in proc.stdout
