@@ -133,12 +133,19 @@ def log_mel_numpy(y: np.ndarray, cfg: AudioConfig) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _device_constants(key: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(window (n_fft,), filterbank transposed (n_bins, n_mels)) as fp32."""
+def _host_constants(key: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """(window (n_fft,), filterbank transposed (n_bins, n_mels)) as fp32
+    numpy. Kept host-side on purpose: caching device arrays would capture
+    tracers when first populated inside a jit trace."""
     sr, n_fft, win_length, n_mels, fmin, fmax = key
     win = _padded_window(n_fft, win_length).astype(np.float32)
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax).astype(np.float32)
-    return jnp.asarray(win), jnp.asarray(fb.T)
+    return win, np.ascontiguousarray(fb.T)
+
+
+def _device_constants(key: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    win, fb_t = _host_constants(key)
+    return jnp.asarray(win), jnp.asarray(fb_t)
 
 
 def _frontend_constants(cfg: AudioConfig):
