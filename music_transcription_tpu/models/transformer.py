@@ -1,0 +1,300 @@
+"""AST-style encoder-decoder for REMI token generation (experimental tier).
+
+The reference wraps a pretrained HuggingFace AST encoder (frozen) and a
+4-layer torch TransformerDecoder (reference models/transformer_model.py:15-392).
+This is a self-contained JAX re-design:
+
+  * **Encoder**: a native mel-patch transformer encoder (patch-embed the
+    log-mel, add learned positions, pre-LN transformer blocks). The
+    reference's pretrained encoder cannot be fetched in a zero-egress
+    environment; ``use_mock_encoder=True`` reproduces the reference's
+    dependency-free mock path (shaped pseudo-random features,
+    transformer_model.py:56-86) and is the default for tests.
+  * **Decoder**: token + learned positional embeddings, post-LN layers with
+    gelu FFN (torch nn.TransformerDecoderLayer default semantics), causal
+    self-attention, cross-attention to encoder memory.
+  * **Generation**: KV-cached autoregressive decode as a ``lax.scan`` over
+    steps — greedy or sampled (temperature / top-k), SOS masking and
+    count-based repetition penalty matching transformer_model.py:305-392.
+
+Teacher forcing: ``apply(variables, waveforms, targets=tokens)`` returns
+(B, T, vocab) logits; generation: ``targets=None`` returns (B, gen_len) ids.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from music_transcription_tpu.config import AudioConfig
+
+
+def _attention(q, k, v, mask=None, dtype=jnp.float32):
+    """(B, T, H, D) attention; mask broadcastable to (B, H, Tq, Tk)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * (d**-0.5)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), v, preferred_element_type=jnp.float32)
+
+
+class MultiHeadProj(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.q = nn.Dense(self.dim, dtype=self.dtype)
+        self.k = nn.Dense(self.dim, dtype=self.dtype)
+        self.v = nn.Dense(self.dim, dtype=self.dtype)
+        self.o = nn.Dense(self.dim, dtype=self.dtype)
+
+    def heads_split(self, x):
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.heads, self.dim // self.heads)
+
+    def __call__(self, x_q, x_kv, mask=None):
+        q = self.heads_split(self.q(x_q))
+        k = self.heads_split(self.k(x_kv))
+        v = self.heads_split(self.v(x_kv))
+        out = _attention(q, k, v, mask, dtype=self.dtype)
+        b, t, h, d = out.shape
+        return self.o(out.reshape(b, t, h * d))
+
+    # --- cached single-step path (generation) ---
+    def init_cache(self, batch: int, max_len: int):
+        d = self.dim // self.heads
+        shape = (batch, max_len, self.heads, d)
+        return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+    def step(self, x_q1, cache, pos):
+        """x_q1 (B, 1, C); cache (k, v) with new k/v written at ``pos``."""
+        k_cache, v_cache = cache
+        q = self.heads_split(self.q(x_q1))
+        k_new = self.heads_split(self.k(x_q1))
+        v_new = self.heads_split(self.v(x_q1))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new.astype(k_cache.dtype), pos, 1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new.astype(v_cache.dtype), pos, 1)
+        t = k_cache.shape[1]
+        valid = (jnp.arange(t) <= pos)[None, None, None, :]  # (1,1,1,T)
+        out = _attention(q, k_cache, v_cache, valid, dtype=self.dtype)
+        b = out.shape[0]
+        return self.o(out.reshape(b, 1, self.dim)), (k_cache, v_cache)
+
+    def cross_kv(self, memory):
+        return self.heads_split(self.k(memory)), self.heads_split(self.v(memory))
+
+    def cross_step(self, x_q1, kv):
+        k, v = kv
+        q = self.heads_split(self.q(x_q1))
+        out = _attention(q, k, v, None, dtype=self.dtype)
+        b = out.shape[0]
+        return self.o(out.reshape(b, 1, self.dim))
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN decoder layer (torch nn.TransformerDecoderLayer defaults:
+    norm_first=False, gelu, ffn = 4*dim)."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.2
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadProj(self.dim, self.heads, self.dtype)
+        self.cross_attn = MultiHeadProj(self.dim, self.heads, self.dtype)
+        self.linear1 = nn.Dense(self.dim * 4, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.dim, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+        self.drop = nn.Dropout(self.dropout)
+
+    def _ffn(self, x, train):
+        h = jax.nn.gelu(self.linear1(x), approximate=False)
+        h = self.drop(h, deterministic=not train)
+        return self.linear2(h)
+
+    def __call__(self, x, memory, causal_mask, train: bool = False):
+        a = self.self_attn(x, x, causal_mask)
+        x = self.norm1(x + self.drop(a, deterministic=not train))
+        a = self.cross_attn(x, memory)
+        x = self.norm2(x + self.drop(a, deterministic=not train))
+        x = self.norm3(x + self.drop(self._ffn(x, train), deterministic=not train))
+        return x
+
+    def step(self, x1, self_cache, cross_kv, pos):
+        a, self_cache = self.self_attn.step(x1, self_cache, pos)
+        x1 = self.norm1(x1 + a)
+        a = self.cross_attn.cross_step(x1, cross_kv)
+        x1 = self.norm2(x1 + a)
+        x1 = self.norm3(x1 + self._ffn(x1, train=False))
+        return x1, self_cache
+
+
+class EncoderLayer(nn.Module):
+    dim: int
+    heads: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.LayerNorm()(x)
+        h = MultiHeadProj(self.dim, self.heads, self.dtype)(h, h)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype)(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        return x + nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class ASTTranscriber(nn.Module):
+    """waveforms (B, L) -> REMI token logits / generated ids."""
+
+    remi_vocab_size: int = 512
+    decoder_layers: int = 4
+    decoder_dim: int = 384
+    decoder_heads: int = 6
+    dropout: float = 0.2
+    max_output_len: int = 1024
+    encoder_layers: int = 4
+    encoder_dim: int = 384
+    encoder_heads: int = 6
+    patch_frames: int = 4  # mel frames per encoder token
+    n_mels: int = 128
+    use_mock_encoder: bool = False
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.enc_to_dec = nn.Dense(self.decoder_dim, dtype=self.compute_dtype)
+        self.token_emb = nn.Embed(self.remi_vocab_size, self.decoder_dim)
+        self.pos_emb = nn.Embed(self.max_output_len, self.decoder_dim)
+        self.layers = [
+            DecoderLayer(self.decoder_dim, self.decoder_heads, self.dropout,
+                         self.compute_dtype, name=f"dec{i}")
+            for i in range(self.decoder_layers)
+        ]
+        self.output_fc = nn.Dense(self.remi_vocab_size, dtype=jnp.float32)
+        if not self.use_mock_encoder:
+            self.patch_embed = nn.Dense(self.encoder_dim, dtype=self.compute_dtype)
+            self.enc_pos = nn.Embed(4096, self.encoder_dim)
+            self.enc_blocks = [
+                EncoderLayer(self.encoder_dim, self.encoder_heads, 0.1,
+                             self.compute_dtype, name=f"enc{i}")
+                for i in range(self.encoder_layers)
+            ]
+            self.enc_norm = nn.LayerNorm()
+
+    # ------------------------------------------------------------- encoding
+    def _encode(self, waveforms, train: bool):
+        if self.use_mock_encoder:
+            # Shaped deterministic pseudo-random features — the reference's
+            # mock encoder path (transformer_model.py:56-86): S ~ L // 160.
+            b, l = waveforms.shape
+            s = max(1, l // 160)
+            key = jax.random.key(0)
+            feats = jax.random.normal(key, (b, s, self.decoder_dim), jnp.float32)
+            return feats
+        acfg = AudioConfig(n_mels=self.n_mels)
+        from music_transcription_tpu.ops.mel import log_mel_batch
+
+        mel = log_mel_batch(waveforms, acfg)  # (B, M, T)
+        b, m, t = mel.shape
+        t_trim = (t // self.patch_frames) * self.patch_frames
+        patches = mel[:, :, :t_trim].reshape(b, m, -1, self.patch_frames)
+        patches = jnp.transpose(patches, (0, 2, 1, 3)).reshape(
+            b, t_trim // self.patch_frames, m * self.patch_frames
+        )
+        x = self.patch_embed(patches.astype(self.compute_dtype))
+        pos = jnp.arange(x.shape[1])
+        x = x + self.enc_pos(pos)[None]
+        for blk in self.enc_blocks:
+            x = blk(x, train=train)
+        return self.enc_norm(x)
+
+    def _memory(self, waveforms, train: bool):
+        feats = self._encode(waveforms, train)
+        return self.enc_to_dec(feats.astype(self.compute_dtype))  # (B, S, D)
+
+    # ------------------------------------------------------ teacher forcing
+    def __call__(self, waveforms, targets=None, train: bool = False,
+                 generate_max_len: int = 256, **gen_kwargs):
+        memory = self._memory(waveforms, train)
+        if targets is None:
+            return self.generate(memory, max_len=generate_max_len, **gen_kwargs)
+        b, t = targets.shape
+        positions = jnp.arange(t)[None].repeat(b, 0)
+        x = self.token_emb(targets) + self.pos_emb(positions)
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        for layer in self.layers:
+            x = layer(x, memory, causal, train=train)
+        return self.output_fc(x)  # (B, T, V)
+
+    # ------------------------------------------------------------ generation
+    def generate(
+        self,
+        memory,
+        sos_id: int = 0,
+        max_len: int = 256,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        mask_sos: bool = True,
+        repetition_penalty: float = 0.0,
+        rng=None,
+    ):
+        """KV-cached autoregressive decode (reference transformer_model.py:305-392
+        semantics: greedy default, optional sampling/top-k, SOS masking after
+        step 0, count-based repetition penalty). Returns (B, max_len) ids."""
+        b = memory.shape[0]
+        if rng is None:
+            rng = jax.random.key(0)
+        self_caches = tuple(
+            layer.self_attn.init_cache(b, max_len + 1) for layer in self.layers
+        )
+        cross_kvs = tuple(layer.cross_attn.cross_kv(memory) for layer in self.layers)
+        counts0 = jnp.zeros((b, self.remi_vocab_size), jnp.float32)
+        counts0 = counts0.at[:, sos_id].add(1.0)
+
+        def step_fn(carry, step):
+            tok, caches, counts, rng = carry
+            x1 = self.token_emb(tok[:, None]) + self.pos_emb(step)[None, None]
+            new_caches = []
+            for layer, cache, ckv in zip(self.layers, caches, cross_kvs):
+                x1, cache = layer.step(x1, cache, ckv, step)
+                new_caches.append(cache)
+            logits = self.output_fc(x1)[:, 0]  # (B, V)
+            if mask_sos:
+                logits = jnp.where(
+                    (step > 0) & (jnp.arange(self.remi_vocab_size) == sos_id)[None],
+                    -1e9,
+                    logits,
+                )
+            if repetition_penalty and repetition_penalty > 0.0:
+                logits = logits - repetition_penalty * counts
+            if do_sample:
+                sample_logits = logits / jnp.maximum(1e-8, temperature)
+                if top_k and top_k > 0:
+                    kth = jnp.sort(sample_logits, axis=-1)[:, -top_k][:, None]
+                    sample_logits = jnp.where(sample_logits < kth, -1e9, sample_logits)
+                rng, sub = jax.random.split(rng)
+                next_tok = jax.random.categorical(sub, sample_logits, axis=-1)
+            else:
+                next_tok = jnp.argmax(logits, axis=-1)
+            counts = counts + jax.nn.one_hot(next_tok, self.remi_vocab_size)
+            return (next_tok, tuple(new_caches), counts, rng), next_tok
+
+        tok0 = jnp.full((b,), sos_id, jnp.int32)
+        (_, _, _, _), tokens = nn.scan(
+            lambda mdl, carry, x: step_fn(carry, x),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+        )(self, (tok0, self_caches, counts0, rng), jnp.arange(max_len))
+        return jnp.transpose(tokens, (1, 0))  # (B, max_len)
