@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""AST training CLI (experimental tier).
+
+Surface of reference scripts/train_ast.py:112-298: dataclass-style config via
+argparse with BooleanOptionalAction, "all"/0 sentinel conversion for
+subset_size, sanity checks (dataset sample + tokenizer round-trip) before
+training, mock-encoder mode for dependency-free smoke tests.
+
+    python scripts/train_ast.py --root_dir maestro-v3.0.0 --epochs 2 \
+        --batch_size 4 --mock_encoder --subset_size 8
+"""
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train the AST token-generation model")
+    p.add_argument("--root_dir", type=str, default="maestro-v3.0.0")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="tokenized or waveform cache (optional)")
+    p.add_argument("--year", type=str, default=None)
+    p.add_argument("--subset_size", type=str, default="all",
+                   help="'all' or an integer (0 == all)")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--chunk_length", type=float, default=10.0)
+    p.add_argument("--max_token_len", type=int, default=256)
+    p.add_argument("--decoder_layers", type=int, default=4)
+    p.add_argument("--decoder_dim", type=int, default=384)
+    p.add_argument("--decoder_heads", type=int, default=6)
+    p.add_argument("--remi_vocab_size", type=int, default=512)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--mock_encoder", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--sanity_checks", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
+    p.add_argument("--run_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def run_sanity_checks(dataset, tokenizer, max_token_len):
+    """Dataset sample + tokenizer round trip (reference scripts/train_ast.py:205-243)."""
+    import numpy as np
+
+    print("Running sanity checks...")
+    wave, roll = dataset[0]
+    dur = wave.shape[-1] / 16000
+    print(f"  sample 0: waveform {wave.shape} ({dur:.1f}s), roll {roll.shape}")
+    seq = tokenizer.encode_from_pianoroll(roll, max_len=max_token_len)
+    decoded = tokenizer.decode_to_pianoroll(seq, max_t=roll.shape[-1])
+    t = decoded.shape[1]
+    agree = float((decoded == np.asarray(roll)[:, :t]).mean()) if t else 1.0
+    print(f"  tokenizer round-trip: {len(seq)} tokens, {agree:.1%} frame agreement")
+    if agree < 0.95:
+        print("  ⚠ round-trip agreement below 95% (roll longer than token budget?)")
+    print("Sanity checks passed.")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    subset = None if args.subset_size in ("all", "0") else int(args.subset_size)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from music_transcription_tpu.config import AudioConfig, ModelConfig
+    from music_transcription_tpu.data.cache import CachedMaestroDataset, metadata_path
+    from music_transcription_tpu.data.maestro import MaestroDataset
+    from music_transcription_tpu.data.pipeline import Loader, collate_tokens
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+    from music_transcription_tpu.train.checkpoints import save_checkpoint
+
+    audio_cfg = AudioConfig(chunk_length=args.chunk_length)
+    tokenizer = REMITokenizer(vocab_size=args.remi_vocab_size)
+
+    if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, "train")):
+        dataset = CachedMaestroDataset(args.cache_dir, "train")
+        pretokenized = dataset.metadata.get("tokenize", False)
+    else:
+        dataset = MaestroDataset(
+            args.root_dir, split="train", chunk_length=args.chunk_length,
+            subset_size=subset, return_waveform=True, audio_cfg=audio_cfg,
+        )
+        pretokenized = False
+    print(f"Train set: {len(dataset)} chunks (pretokenized={pretokenized})")
+
+    if args.sanity_checks and not pretokenized:
+        run_sanity_checks(dataset, tokenizer, args.max_token_len)
+
+    class TokenizingView:
+        """waveform+roll -> waveform+tokens on the fly (collate_ast role)."""
+
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            wave, second = self.ds[i]
+            if pretokenized:
+                return wave, second
+            tokens = tokenizer.encode_from_pianoroll(second, max_len=args.max_token_len)
+            return wave, np.asarray(tokens, np.int64)
+
+    loader = Loader(
+        TokenizingView(dataset), args.batch_size, shuffle=True, seed=args.seed,
+        num_workers=4, drop_last=True, collate=collate_tokens,
+        pad_to=audio_cfg.chunk_samples,
+    )
+
+    model_cfg = ModelConfig(
+        model_type="ast", dropout=args.dropout, remi_vocab_size=args.remi_vocab_size,
+        decoder_layers=args.decoder_layers, decoder_dim=args.decoder_dim,
+        decoder_heads=args.decoder_heads, use_mock_encoder=args.mock_encoder,
+    )
+    model = TranscriptionModel(model_cfg)
+    sample_wave = jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32)
+    variables = model.init(jax.random.key(args.seed), sample_wave)
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, wave, tokens, rng):
+        def loss_fn(p):
+            logits = model.module.apply(
+                {"params": p}, wave, targets=tokens, train=True, rngs={"dropout": rng}
+            )
+            return model.loss(logits, tokens)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    run_dir = args.run_dir or os.path.join(
+        "outputs", "ast_" + datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    params = variables["params"]
+    rng = jax.random.key(args.seed + 1)
+    for epoch in range(1, args.epochs + 1):
+        total, n = 0.0, 0
+        for wave, tokens in loader:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(wave), jnp.asarray(tokens), sub
+            )
+            total += float(loss)
+            n += 1
+        print(f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}")
+
+    ckpt = os.path.join(run_dir, "model_final")
+    save_checkpoint(ckpt, {"params": jax.tree.map(np.asarray, params)})
+    import json
+
+    from music_transcription_tpu.config import config_to_dict
+
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump({"model": config_to_dict(model_cfg), "audio": config_to_dict(audio_cfg)}, f)
+    print(f"Saved {ckpt}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
