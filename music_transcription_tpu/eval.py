@@ -139,6 +139,63 @@ def tune_threshold(
 
 
 # ---------------------------------------------------------------------------
+# Note-level onset metrics (the reference ships these only in its notebooks:
+# transformer_draft.ipynb cell 11 / scripts/transformer-draft.ipynb cell 31 —
+# greedy onset matching within a ±tolerance window, per pitch)
+# ---------------------------------------------------------------------------
+
+
+def _onsets_per_pitch(roll: np.ndarray) -> list[np.ndarray]:
+    """(88, T) binary roll -> per-pitch frame indices of 0->1 transitions."""
+    active = roll > 0
+    padded = np.zeros((active.shape[0], active.shape[1] + 1), bool)
+    padded[:, 1:] = active
+    changes = active & ~padded[:, :-1]
+    return [np.nonzero(changes[p])[0] for p in range(roll.shape[0])]
+
+
+def note_onset_prf(
+    pred_roll: np.ndarray,
+    true_roll: np.ndarray,
+    fs: float,
+    tolerance_s: float = 0.05,
+) -> tuple[float, float, float]:
+    """Note-level onset precision/recall/F1 with greedy nearest matching
+    within ±tolerance seconds (defaults to the notebooks' ±50 ms)."""
+    tol_frames = max(0, int(round(tolerance_s * fs)))
+    pred_on = _onsets_per_pitch(pred_roll)
+    true_on = _onsets_per_pitch(true_roll)
+    tp = 0
+    n_pred = sum(len(o) for o in pred_on)
+    n_true = sum(len(o) for o in true_on)
+    for p in range(len(pred_on)):
+        preds = list(pred_on[p])
+        for t_on in true_on[p]:
+            if not preds:
+                break
+            dists = [abs(x - t_on) for x in preds]
+            j = int(np.argmin(dists))
+            if dists[j] <= tol_frames:
+                tp += 1
+                preds.pop(j)  # greedy: each predicted onset matches once
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_true if n_true else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return precision, recall, f1
+
+
+def per_sample_onset_f1(
+    cached: CachedPredictions, threshold: float, fs: float, tolerance_s: float = 0.05
+) -> np.ndarray:
+    out = np.empty(len(cached.probs), np.float64)
+    for i, (p, t) in enumerate(zip(cached.probs, cached.targets)):
+        _, _, out[i] = note_onset_prf(
+            (p > threshold).astype(np.float32), t.astype(np.float32), fs, tolerance_s
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Report artifacts
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--midi_limit", type=int, default=50)
     p.add_argument("--headless", action="store_true",
                    help="print only EVAL_MEAN_F1=<v> (for scripts/benchmarks)")
+    p.add_argument("--onset_f1", action="store_true",
+                   help="also report note-level onset F1 (±50 ms tolerance)")
+    p.add_argument("--onset_tolerance", type=float, default=0.05)
     p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     # model config overrides (autodetected from checkpoint sidecar when present)
     p.add_argument("--model_type", type=str, default=None)
@@ -196,15 +199,28 @@ def main(argv=None):
     f1_scores = E.per_sample_f1(cached, args.threshold)
     mean = float(f1_scores.mean()) if f1_scores.size else 0.0
 
+    onset_scores = None
+    if args.onset_f1:
+        onset_scores = E.per_sample_onset_f1(
+            cached, args.threshold, fs=audio_cfg.frame_rate,
+            tolerance_s=args.onset_tolerance,
+        )
+
     if args.headless:
         print(f"EVAL_MEAN_F1={mean:.6f}")
+        if onset_scores is not None:
+            print(f"EVAL_ONSET_F1={float(onset_scores.mean()):.6f}")
         return 0
 
     run_dir = os.path.join(args.out_dir, datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
     os.makedirs(run_dir, exist_ok=True)
+    extra = {"model": args.model, "split": args.split, "source": source}
+    if onset_scores is not None:
+        extra["mean onset F1 (±{:.0f} ms)".format(args.onset_tolerance * 1000)] = (
+            f"{float(onset_scores.mean()):.6f}"
+        )
     E.write_summary(
-        os.path.join(run_dir, "eval_summary.txt"), f1_scores, args.threshold,
-        extra={"model": args.model, "split": args.split, "source": source},
+        os.path.join(run_dir, "eval_summary.txt"), f1_scores, args.threshold, extra=extra,
     )
     E.plot_confusion(
         os.path.join(run_dir, "confusion_matrix.png"),

@@ -177,3 +177,58 @@ def test_evaluate_cli_tuning_headless(eval_setup):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "EVAL_BEST_THRESHOLD=" in proc.stdout
     assert "EVAL_MEAN_F1=" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# Note-level onset metrics
+# ---------------------------------------------------------------------------
+
+
+def test_onset_prf_exact_match():
+    roll = np.zeros((88, 100), np.float32)
+    roll[10, 20:30] = 1
+    roll[50, 50:60] = 1
+    p, r, f = E.note_onset_prf(roll, roll, fs=31.25)
+    assert (p, r, f) == (1.0, 1.0, 1.0)
+
+
+def test_onset_prf_within_tolerance():
+    true = np.zeros((88, 100), np.float32)
+    pred = np.zeros((88, 100), np.float32)
+    true[10, 20:30] = 1
+    pred[10, 21:30] = 1  # onset 1 frame late = 32 ms < 50 ms
+    p, r, f = E.note_onset_prf(pred, true, fs=31.25)
+    assert f == 1.0
+    pred2 = np.zeros((88, 100), np.float32)
+    pred2[10, 25:30] = 1  # 5 frames late = 160 ms > 50 ms
+    _, _, f2 = E.note_onset_prf(pred2, true, fs=31.25)
+    assert f2 == 0.0
+
+
+def test_onset_prf_greedy_single_match():
+    true = np.zeros((88, 100), np.float32)
+    pred = np.zeros((88, 100), np.float32)
+    true[10, 20:22] = 1  # one true note
+    pred[10, 20:21] = 1
+    pred[10, 22:23] = 1  # two predicted notes near the same onset
+    p, r, f = E.note_onset_prf(pred, true, fs=31.25)
+    assert r == 1.0
+    assert p == 0.5  # only one of the two predictions matches
+
+
+def test_onset_prf_wrong_pitch_no_match():
+    true = np.zeros((88, 100), np.float32)
+    pred = np.zeros((88, 100), np.float32)
+    true[10, 20:30] = 1
+    pred[11, 20:30] = 1
+    _, _, f = E.note_onset_prf(pred, true, fs=31.25)
+    assert f == 0.0
+
+
+def test_evaluate_cli_onset_f1(eval_setup):
+    d, ckpt, cache_dir = eval_setup
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
+         "--headless", "--onset_f1"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "EVAL_ONSET_F1=" in proc.stdout
