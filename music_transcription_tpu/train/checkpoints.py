@@ -52,13 +52,25 @@ def save_checkpoint(path, payload: dict) -> None:
 
 
 def load_checkpoint(path, like: dict | None = None) -> dict:
+    """Restore a checkpoint. Without ``like``, leaves restore as host numpy
+    arrays regardless of the devices present at save time (a checkpoint saved
+    on CPU must load on TPU and vice versa — orbax's default restores to the
+    *recorded* sharding and fails across platforms)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
     if like is not None:
-        return ckptr.restore(path, target=like)
-    return ckptr.restore(path)
+        return ocp.StandardCheckpointer().restore(path, target=like)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    if hasattr(meta, "item_metadata"):  # StepMetadata wrapper
+        meta = meta.item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)),
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def epoch_from_checkpoint_name(name: str) -> int | None:
