@@ -98,7 +98,21 @@ def load_wav(
     Matches librosa.load semantics: mono mixdown is the channel mean; when
     ``sr`` differs from the file rate, the signal is resampled and, with
     ``duration`` set, trimmed/zero-padded to round(duration * sr) samples.
+
+    Mono decode goes through the native hostkit (C++, see native/hostkit.cpp)
+    when it is built; the numpy path below is the portable fallback and the
+    parity oracle for it.
     """
+    if mono:
+        y_native = _load_wav_native(path, offset, duration)
+        if y_native is not None:
+            y, file_sr = y_native
+            if sr is not None and sr != file_sr:
+                y = resample(y, file_sr, sr)
+                if duration is not None:
+                    y = fix_length(y, int(round(duration * sr)))
+                file_sr = sr
+            return np.ascontiguousarray(y, dtype=np.float32), file_sr
     with open(path, "rb") as f:
         fmt_code, channels, file_sr, bits, data_offset, data_size = _parse_wav_header(f)
         bytes_per_frame = channels * (bits // 8)
@@ -123,6 +137,24 @@ def load_wav(
     else:
         out_sr = file_sr
     return np.ascontiguousarray(y, dtype=np.float32), out_sr
+
+
+def _load_wav_native(path, offset, duration):
+    """Native decode attempt; returns (samples, file_sr) or None to fall back."""
+    try:
+        from music_transcription_tpu import native
+
+        if not native.available():
+            return None
+        info = native.wav_info(path)
+        start = min(int(round(offset * info.sample_rate)), info.n_frames)
+        if duration is None:
+            n = info.n_frames - start
+        else:
+            n = min(int(round(duration * info.sample_rate)), info.n_frames - start)
+        return native.decode_wav(path, start, n), info.sample_rate
+    except (ValueError, OSError):
+        return None
 
 
 def load_audio(path, sr=None, mono=True, offset=0.0, duration=None):

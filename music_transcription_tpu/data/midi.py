@@ -99,6 +99,28 @@ class MidiFile:
         return (full[MIN_MIDI : MIN_MIDI + NUM_KEYS] > 0).astype(np.float32)
 
 
+def _fill_roll(notes, fs: float, n_cols: int) -> np.ndarray:
+    """Velocity-summed note fill — native hostkit when built, numpy fallback."""
+    try:
+        from music_transcription_tpu import native
+
+        if native.available():
+            return native.fill_roll(
+                [n.pitch for n in notes],
+                [n.start for n in notes],
+                [n.end for n in notes],
+                [n.velocity for n in notes],
+                fs,
+                n_cols,
+            )
+    except (ValueError, OSError):  # pragma: no cover
+        pass
+    roll = np.zeros((128, n_cols))
+    for n in notes:
+        roll[n.pitch, int(n.start * fs) : int(n.end * fs)] += n.velocity
+    return roll
+
+
 def _instrument_roll(inst, fs, times, pedal_threshold):
     if not inst.notes:
         n_cols = 0 if times is None else len(times)
@@ -107,9 +129,7 @@ def _instrument_roll(inst, fs, times, pedal_threshold):
     if times is not None and len(times) and times[-1] > end_time:
         end_time = float(times[-1])
     n_cols = int(fs * end_time)
-    roll = np.zeros((128, n_cols))
-    for n in inst.notes:
-        roll[n.pitch, int(n.start * fs) : int(n.end * fs)] += n.velocity
+    roll = _fill_roll(inst.notes, fs, n_cols)
 
     if pedal_threshold is not None:
         pedal_on_at = 0
