@@ -26,6 +26,7 @@ BASELINE_MS = 50.0  # north-star: <50 ms per 30 s chunk per chip (BASELINE.md)
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")  # xplane trace output
 
     import jax
     import jax.numpy as jnp
@@ -72,14 +73,25 @@ def main():
     _ = int(fence)  # device -> host forces completion
     print(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    # Amortized timing: dispatch `chain` executions back-to-back and fence
+    # once — isolates device throughput from per-call RPC/dispatch overhead
+    # (which dominates single-call latency through a remote PJRT tunnel).
+    chain = int(os.environ.get("BENCH_CHAIN", "10"))
     times = []
     for i in range(iters):
-        # vary input each iter so no caching layer can replay a result
-        c = chunks + jnp.float32(i * 1e-6)
         t0 = time.perf_counter()
-        _, fence = pipeline(variables, c)
-        _ = int(fence)
-        times.append(time.perf_counter() - t0)
+        fences = []
+        for j in range(chain):
+            c = chunks + jnp.float32((i * chain + j) * 1e-6)
+            _, fence = pipeline(variables, c)
+            fences.append(fence)
+        _ = [int(f) for f in fences]
+        times.append((time.perf_counter() - t0) / chain)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"[bench] profile trace written to {profile_dir}", file=sys.stderr)
     times.sort()
     median_s = times[len(times) // 2]
     ms_per_chunk = median_s * 1000.0 / batch

@@ -118,6 +118,7 @@ class BiLSTMStack(nn.Module):
     hidden_size: int
     num_layers: int
     dropout: float = 0.0
+    proj_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -140,7 +141,8 @@ class BiLSTMStack(nn.Module):
             in_size = 2 * self.hidden_size
         rng = self.make_rng("dropout") if (train and self.dropout > 0 and self.num_layers > 1) else None
         return bilstm_stack(
-            x, layers, dropout_rate=self.dropout, deterministic=not train, dropout_rng=rng
+            x, layers, dropout_rate=self.dropout, deterministic=not train,
+            dropout_rng=rng, proj_dtype=self.proj_dtype,
         )
 
 
@@ -187,6 +189,7 @@ class CNNRNN(nn.Module):
             hidden_size=self.hidden_size,
             num_layers=self.num_layers,
             dropout=self.dropout,
+            proj_dtype=self.compute_dtype,
             name="rnn",
         )(feats, train)
         logits = nn.Dense(NUM_KEYS, dtype=jnp.float32, name="fc")(rnn_out)
@@ -243,12 +246,14 @@ class CNNRNNLarge(nn.Module):
             hidden_size=self.hidden_size,
             num_layers=self.num_layers,
             dropout=self.dropout if self.num_layers > 1 else 0.0,
+            proj_dtype=dt,
             name="rnn_main",
         )(feats, train)
         rnn_local = BiLSTMStack(
             input_size=lstm_input,
             hidden_size=self.hidden_size // 2,
             num_layers=1,
+            proj_dtype=dt,
             name="rnn_local",
         )(feats, train)
         rnn_out = jnp.concatenate([rnn_main, rnn_local], axis=-1)  # (B, T, 3H)

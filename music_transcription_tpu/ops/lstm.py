@@ -51,22 +51,32 @@ def _lstm_cell_scan(xw: jnp.ndarray, wh: jnp.ndarray, hidden: int) -> jnp.ndarra
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
 
-def bilstm_layer(x: jnp.ndarray, layer_params: dict) -> jnp.ndarray:
+def bilstm_layer(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32) -> jnp.ndarray:
     """One bidirectional layer: (B, T, I) -> (B, T, 2H).
 
     Output feature order matches torch: [forward_h, backward_h] where
     backward_h[t] is the backward pass's output for timestep t.
+
+    ``proj_dtype`` controls the *input projection* matmul only (the dominant
+    FLOPs: (B*T, I) x (I, 4H) once per layer); bfloat16 there runs on the
+    MXU fast path while the recurrence math stays float32 — a weaker
+    precision cut than the reference's all-fp32 rule, applied only where the
+    recurrent error feedback cannot amplify it (the projection is feed-
+    forward; fp32 accumulation is kept).
     """
-    x = x.astype(jnp.float32)
     hidden = layer_params["wh_fwd"].shape[0]
-    xw_f = (
-        jnp.einsum("bti,ih->bth", x, layer_params["wi_fwd"], preferred_element_type=jnp.float32)
-        + layer_params["b_fwd"]
-    )
-    xw_b = (
-        jnp.einsum("bti,ih->bth", x, layer_params["wi_bwd"], preferred_element_type=jnp.float32)
-        + layer_params["b_bwd"]
-    )
+
+    def proj(w, b):
+        out = jnp.einsum(
+            "bti,ih->bth",
+            x.astype(proj_dtype),
+            w.astype(proj_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out + b
+
+    xw_f = proj(layer_params["wi_fwd"], layer_params["b_fwd"])
+    xw_b = proj(layer_params["wi_bwd"], layer_params["b_bwd"])
     same_wh = layer_params["wh_fwd"].shape == layer_params["wh_bwd"].shape
     if same_wh:
         # Fuse both directions into one scan over a 2B batch. The backward
@@ -109,12 +119,13 @@ def bilstm_stack(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng=None,
+    proj_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Multi-layer BiLSTM with torch inter-layer dropout semantics
     (dropout applied to each layer's output except the last, training only)."""
     out = x
     for li, params in enumerate(layers):
-        out = bilstm_layer(out, params)
+        out = bilstm_layer(out, params, proj_dtype=proj_dtype)
         is_last = li == len(layers) - 1
         if dropout_rate > 0.0 and not deterministic and not is_last:
             dropout_rng, sub = jax.random.split(dropout_rng)

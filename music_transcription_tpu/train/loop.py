@@ -133,6 +133,7 @@ def train_model(
     start_epoch: int = 1,
     mesh=None,
     verbose: bool = True,
+    profile_steps: int = 0,
 ):
     """Full training driver. Returns (model, state, history)."""
     from music_transcription_tpu.models.transcription import TranscriptionModel
@@ -192,6 +193,23 @@ def train_model(
     history = {"train_loss": [], "val_loss": [], "step_losses": []}
     rng = jax.random.key(train_cfg.seed + 1)
     nan_count = 0
+
+    if profile_steps > 0:
+        # Trace the first few compiled steps (jax.profiler xplane trace into
+        # the run dir) — the tracing hook the reference lacks (SURVEY §5).
+        trace_dir = os.path.join(run_dir, "profile")
+        jax.profiler.start_trace(trace_dir)
+        try:
+            it = device_prefetch(iter(train_loader), mesh=mesh)
+            for i, batch in enumerate(it):
+                state, _ = step_fn(state, batch, rng)
+                if i + 1 >= profile_steps:
+                    break
+            jax.block_until_ready(state["step"])
+        finally:
+            jax.profiler.stop_trace()
+        if verbose:
+            print(f"Wrote profiler trace ({profile_steps} steps) to {trace_dir}")
 
     for epoch in range(start_epoch, train_cfg.epochs + 1):
         if verbose:

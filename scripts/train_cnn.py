@@ -60,6 +60,8 @@ def build_parser():
     e.add_argument("--out_root", type=str, default="outputs")
     e.add_argument("--background", action="store_true",
                    help="re-spawn detached with logs redirected")
+    e.add_argument("--profile_steps", type=int, default=0,
+                   help="trace the first N train steps with jax.profiler")
     return p
 
 
@@ -180,6 +182,7 @@ def main(argv=None):
         run_dir=args.run_dir,
         resume_from=args.resume,
         start_epoch=start_epoch,
+        profile_steps=args.profile_steps,
     )
     print(f"\nTraining complete. Artifacts in {args.run_dir}")
     return 0
