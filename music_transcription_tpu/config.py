@@ -98,6 +98,9 @@ class ModelConfig:
     # fp32 recurrent carries (analogue of the reference's FP32-LSTM AMP rule,
     # reference models/cnn_rnn_model.py:69,309).
     compute_dtype: str = "bfloat16"
+    # LSTM recurrence backend: "scan" (lax.scan; differentiable, shardable)
+    # or "pallas" (fused TPU kernel, inference-only, single-device).
+    lstm_backend: str = "scan"
 
     def __post_init__(self):
         canon = canonical_model_type(self.model_type)

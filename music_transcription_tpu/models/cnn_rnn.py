@@ -119,6 +119,7 @@ class BiLSTMStack(nn.Module):
     num_layers: int
     dropout: float = 0.0
     proj_dtype: Any = jnp.float32
+    backend: str = "scan"  # "scan" | "pallas" (inference-only fused kernel)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -139,6 +140,10 @@ class BiLSTMStack(nn.Module):
                 layer[f"b_{d}"] = self.param(f"l{li}_b_{d}", u, (4 * self.hidden_size,))
             layers.append(layer)
             in_size = 2 * self.hidden_size
+        if self.backend == "pallas" and not train:
+            from music_transcription_tpu.ops.lstm_pallas import bilstm_stack_pallas
+
+            return bilstm_stack_pallas(x, layers, proj_dtype=self.proj_dtype)
         rng = self.make_rng("dropout") if (train and self.dropout > 0 and self.num_layers > 1) else None
         return bilstm_stack(
             x, layers, dropout_rate=self.dropout, deterministic=not train,
@@ -173,6 +178,7 @@ class CNNRNN(nn.Module):
     num_layers: int = 2
     dropout: float = 0.3
     compute_dtype: Any = jnp.float32
+    lstm_backend: str = "scan"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -190,6 +196,7 @@ class CNNRNN(nn.Module):
             num_layers=self.num_layers,
             dropout=self.dropout,
             proj_dtype=self.compute_dtype,
+            backend=self.lstm_backend,
             name="rnn",
         )(feats, train)
         logits = nn.Dense(NUM_KEYS, dtype=jnp.float32, name="fc")(rnn_out)
@@ -212,6 +219,7 @@ class CNNRNNLarge(nn.Module):
     use_onset_offset_heads: bool = True
     num_attention_heads: int = 8
     compute_dtype: Any = jnp.float32
+    lstm_backend: str = "scan"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_all_heads: bool = False):
@@ -247,6 +255,7 @@ class CNNRNNLarge(nn.Module):
             num_layers=self.num_layers,
             dropout=self.dropout if self.num_layers > 1 else 0.0,
             proj_dtype=dt,
+            backend=self.lstm_backend,
             name="rnn_main",
         )(feats, train)
         rnn_local = BiLSTMStack(
@@ -254,6 +263,7 @@ class CNNRNNLarge(nn.Module):
             hidden_size=self.hidden_size // 2,
             num_layers=1,
             proj_dtype=dt,
+            backend=self.lstm_backend,
             name="rnn_local",
         )(feats, train)
         rnn_out = jnp.concatenate([rnn_main, rnn_local], axis=-1)  # (B, T, 3H)

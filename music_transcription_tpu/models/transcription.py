@@ -35,6 +35,7 @@ def build_module(cfg: ModelConfig):
             num_layers=cfg.num_layers,
             dropout=cfg.dropout,
             compute_dtype=dtype,
+            lstm_backend=cfg.lstm_backend,
         )
     if cfg.model_type == "cnn_rnn_large":
         return CNNRNNLarge(
@@ -46,6 +47,7 @@ def build_module(cfg: ModelConfig):
             use_onset_offset_heads=cfg.use_onset_offset_heads,
             num_attention_heads=cfg.num_attention_heads,
             compute_dtype=dtype,
+            lstm_backend=cfg.lstm_backend,
         )
     if cfg.model_type == "ast":
         from music_transcription_tpu.models.transformer import ASTTranscriber

@@ -28,7 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _recurrence_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref):
-    """One grid step t: gates = xw[t] + blockdiag(h) @ wh; h,c update."""
+    """One grid step t: gates = xw[t] + blockdiag(h) @ wh; h,c update.
+
+    Layouts are time-major — xw (T, 2B, 4H) blocked (1, 2B, 4H) — so the
+    trailing two dims satisfy the TPU (8, 128) tiling constraint."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -36,7 +39,7 @@ def _recurrence_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref):
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    two_b, four_h = xw_ref.shape[0], xw_ref.shape[2]
+    two_b, four_h = xw_ref.shape[1], xw_ref.shape[2]
     hidden = four_h // 4
     b = two_b // 2
 
@@ -44,7 +47,7 @@ def _recurrence_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref):
     # block-diagonal recurrent matmul: forward half uses wh[0], backward wh[1]
     hw_f = jnp.dot(h[:b], wh_ref[0], preferred_element_type=jnp.float32)
     hw_b = jnp.dot(h[b:], wh_ref[1], preferred_element_type=jnp.float32)
-    gates = xw_ref[:, 0, :] + jnp.concatenate([hw_f, hw_b], axis=0)  # (2B, 4H)
+    gates = xw_ref[0] + jnp.concatenate([hw_f, hw_b], axis=0)  # (2B, 4H)
 
     i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
     f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
@@ -54,7 +57,7 @@ def _recurrence_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref):
     h_new = o * jnp.tanh(c)
     c_ref[:] = c
     h_ref[:] = h_new
-    out_ref[:, 0, :] = h_new
+    out_ref[0] = h_new
 
 
 def lstm_recurrence_pallas(xw: jnp.ndarray, wh_stacked: jnp.ndarray) -> jnp.ndarray:
@@ -62,15 +65,16 @@ def lstm_recurrence_pallas(xw: jnp.ndarray, wh_stacked: jnp.ndarray) -> jnp.ndar
     weights -> (2B, T, H) hidden states. All float32."""
     two_b, t, four_h = xw.shape
     hidden = four_h // 4
-    return pl.pallas_call(
+    xw_tm = jnp.swapaxes(xw, 0, 1)  # (T, 2B, 4H) time-major
+    out = pl.pallas_call(
         _recurrence_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((two_b, 1, four_h), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_b, four_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hidden, four_h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((two_b, 1, hidden), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((two_b, t, hidden), jnp.float32),
+        out_specs=pl.BlockSpec((1, two_b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, two_b, hidden), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((two_b, hidden), jnp.float32),
             pltpu.VMEM((two_b, hidden), jnp.float32),
@@ -80,7 +84,8 @@ def lstm_recurrence_pallas(xw: jnp.ndarray, wh_stacked: jnp.ndarray) -> jnp.ndar
             bytes_accessed=(xw.size + wh_stacked.size + two_b * t * hidden) * 4,
             transcendentals=t * two_b * hidden * 5,
         ),
-    )(xw.astype(jnp.float32), wh_stacked.astype(jnp.float32))
+    )(xw_tm.astype(jnp.float32), wh_stacked.astype(jnp.float32))
+    return jnp.swapaxes(out, 0, 1)  # (2B, T, H)
 
 
 def bilstm_layer_pallas(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32) -> jnp.ndarray:
