@@ -119,12 +119,13 @@ class TranscriptionModel:
         if self.config.is_ast:
             from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
 
+            max_t = kwargs.pop("max_T", 1024)  # tokenizer arg, not a model kwarg
             token_ids = self.apply(variables, x, train=False, **kwargs)  # (B, L)
             tok = REMITokenizer(vocab_size=self.config.remi_vocab_size)
             import numpy as np
 
             rolls = [
-                tok.decode_to_pianoroll(list(np.asarray(token_ids[i])), max_t=kwargs.get("max_T", 1024))
+                tok.decode_to_pianoroll(list(np.asarray(token_ids[i])), max_t=max_t)
                 for i in range(token_ids.shape[0])
             ]
             max_t = max((r.shape[1] for r in rolls), default=0)

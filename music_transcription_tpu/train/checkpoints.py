@@ -206,6 +206,95 @@ def load_torch_checkpoint(path, cfg: ModelConfig) -> dict:
     return convert_torch_state_dict(_load_state_dict(path), cfg)
 
 
+# ---------------------------------------------------------------------------
+# Torch .pth export (the reverse direction: our variables -> reference format)
+# ---------------------------------------------------------------------------
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def export_torch_state_dict(variables: dict, cfg: ModelConfig, prefix: str = "model.") -> dict:
+    """variables pytree -> reference-format state_dict (numpy values).
+
+    Inverse of convert_torch_state_dict; lets models trained here run in the
+    reference PyTorch pipeline (same key names, OIHW/row-major layouts)."""
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    out: dict = {}
+
+    def put_conv(name, tree):
+        out[f"{name}.weight"] = np.transpose(_np(tree["kernel"]), (3, 2, 0, 1))
+        out[f"{name}.bias"] = _np(tree["bias"])
+
+    def put_bn(name, ptree, stree):
+        out[f"{name}.weight"] = _np(ptree["scale"])
+        out[f"{name}.bias"] = _np(ptree["bias"])
+        out[f"{name}.running_mean"] = _np(stree["mean"])
+        out[f"{name}.running_var"] = _np(stree["var"])
+        out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def put_dense(name, tree):
+        out[f"{name}.weight"] = _np(tree["kernel"]).T
+        out[f"{name}.bias"] = _np(tree["bias"])
+
+    def put_lstm(name, tree, num_layers):
+        for li in range(num_layers):
+            for d, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                out[f"{name}.weight_ih_l{li}{suffix}"] = _np(tree[f"l{li}_wi_{d}"]).T
+                out[f"{name}.weight_hh_l{li}{suffix}"] = _np(tree[f"l{li}_wh_{d}"]).T
+                b = _np(tree[f"l{li}_b_{d}"])
+                out[f"{name}.bias_ih_l{li}{suffix}"] = b  # combined bias goes to ih,
+                out[f"{name}.bias_hh_l{li}{suffix}"] = np.zeros_like(b)  # hh zeroed
+
+    if cfg.model_type == "cnn_rnn":
+        put_conv("cnn.0", p["block1"]["conv"])
+        put_bn("cnn.1", p["block1"]["bn"], s["block1"]["bn"])
+        put_conv("cnn.4", p["block2"]["conv"])
+        put_bn("cnn.5", p["block2"]["bn"], s["block2"]["bn"])
+        put_lstm("rnn", p["rnn"], cfg.num_layers)
+        put_dense("fc", p["fc"])
+    elif cfg.model_type == "cnn_rnn_large":
+        put_conv("conv1.0", p["conv1"]["conv"])
+        put_bn("conv1.1", p["conv1"]["bn"], s["conv1"]["bn"])
+        for rb in ("res_block1", "res_block2"):
+            put_conv(f"{rb}.conv1", p[rb]["conv1"])
+            put_bn(f"{rb}.bn1", p[rb]["bn1"], s[rb]["bn1"])
+            put_conv(f"{rb}.conv2", p[rb]["conv2"])
+            put_bn(f"{rb}.bn2", p[rb]["bn2"], s[rb]["bn2"])
+            put_conv(f"{rb}.skip.0", p[rb]["skip_conv"])
+            put_bn(f"{rb}.skip.1", p[rb]["skip_bn"], s[rb]["skip_bn"])
+        put_conv("freq_aware_conv.0", p["freq_aware_conv"]["conv"])
+        put_bn("freq_aware_conv.1", p["freq_aware_conv"]["bn"], s["freq_aware_conv"]["bn"])
+        put_lstm("rnn_main", p["rnn_main"], cfg.num_layers)
+        put_lstm("rnn_local", p["rnn_local"], 1)
+        if cfg.use_attention:
+            put_dense("attention.qkv", p["attention"]["qkv"])
+            put_dense("attention.proj", p["attention"]["proj"])
+            out["attention_norm.weight"] = _np(p["attention_norm"]["scale"])
+            out["attention_norm.bias"] = _np(p["attention_norm"]["bias"])
+        if cfg.use_onset_offset_heads:
+            put_dense("shared_fc", p["shared_fc"])
+            for head in ("frame_head", "onset_head", "offset_head"):
+                put_dense(head, p[head])
+        else:
+            put_dense("fc", p["fc"])
+    else:
+        raise ValueError(f"No torch export for model type {cfg.model_type}")
+    return {prefix + k: v for k, v in out.items()}
+
+
+def save_torch_checkpoint(path, variables: dict, cfg: ModelConfig) -> None:
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(variables, cfg).items()
+    }
+    torch.save(sd, path)
+
+
 def assert_tree_shapes_match(converted: dict, initialized: dict) -> None:
     """Sanity check: converted checkpoint has exactly the initialized shapes."""
     conv_flat = jax.tree_util.tree_flatten_with_path(converted)[0]

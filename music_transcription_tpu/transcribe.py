@@ -90,6 +90,19 @@ def transcribe_chunks(
     mesh=None,
 ) -> np.ndarray:
     """(num_chunks, chunk_samples) -> concatenated (88, num_chunks*T) roll."""
+    if loaded.model.config.is_ast:
+        # Token-generation path (the notebooks' generate_from_audio,
+        # reference transformer_draft.ipynb cell 8): generate REMI tokens per
+        # chunk, decode to rolls on host, concatenate along time.
+        max_t = loaded.audio_cfg.roll_frames_per_chunk
+        rolls = loaded.model.predict(
+            loaded.variables, jnp.asarray(chunks), max_T=max_t,
+            generate_max_len=loaded.model.config.max_output_len,
+        )
+        rolls = np.asarray(rolls)
+        out = np.zeros((rolls.shape[0], 88, max_t), np.float32)
+        out[:, :, : rolls.shape[2]] = rolls[:, :, :max_t]
+        return np.concatenate(list(out), axis=1)
     n_real = chunks.shape[0]
     if mesh is None and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh()

@@ -146,3 +146,20 @@ def test_orbax_roundtrip(tmp_path):
     back = CK.load_checkpoint(path, like=jax.tree.map(jnp.zeros_like, payload))
     assert int(back["step"]) == 7
     assert np.allclose(np.asarray(back["params"]["w"]), np.arange(6).reshape(2, 3))
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """our variables -> .pth -> back must be numerically identical."""
+    import jax.numpy as jnp
+
+    cfg = ModelConfig(model_type="cnn_rnn_large", n_mels=16, hidden_size=8, num_layers=2)
+    model = TranscriptionModel(cfg)
+    variables = model.init(jax.random.key(3), model.example_input(batch=1, t=6))
+    path = tmp_path / "export.pth"
+    CK.save_torch_checkpoint(path, variables, cfg)
+    back = CK.load_torch_checkpoint(path, cfg)
+    CK.assert_tree_shapes_match(back, {k: variables[k] for k in ("params", "batch_stats")})
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 1, 16, 10)), jnp.float32)
+    a = model.apply(variables, x)
+    b = model.apply(back, x)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-6
