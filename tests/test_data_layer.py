@@ -221,3 +221,15 @@ def test_device_prefetch_sharded(maestro_root):
     assert isinstance(mel, jax.Array)
     assert mel.shape == (4, 1, 48, 64)
     assert len(mel.sharding.device_set) == 4
+
+
+def test_process_shard_partitions_everything():
+    from music_transcription_tpu.parallel.distributed import ProcessShard
+
+    data = list(range(10))
+    shards = [ProcessShard(data, process_index=p, process_count=3) for p in range(3)]
+    seen = []
+    for s in shards:
+        seen.extend(s[i] for i in range(len(s)))
+    assert sorted(seen) == data
+    assert [len(s) for s in shards] == [4, 3, 3]
