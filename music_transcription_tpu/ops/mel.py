@@ -161,18 +161,24 @@ def _frontend_constants(cfg: AudioConfig):
     )
 
 
-@lru_cache(maxsize=4)
-def _dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
-    """Real-DFT cos/sin bases (n_fft, 1 + n_fft//2) for matmul-based rFFT.
+def _dft_bases_device(n_fft: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Real-DFT cos/sin bases (n_fft, 1 + n_fft//2), synthesized ON DEVICE.
 
     XLA's TPU FFT is far from the MXU roofline; expressing the power
     spectrum as two (frames x n_fft) @ (n_fft x n_bins) matmuls runs at
-    matrix-unit speed instead (measured ~20x faster at n_fft=2048)."""
+    matrix-unit speed instead (measured ~20x faster at n_fft=2048).
+
+    The bases are computed at runtime (not baked as 16 MB HLO constants,
+    which bloats serialized programs). The phase n*k mod n_fft is computed
+    exactly in int32 — cos/sin of reduced angles keeps fp32 accuracy even
+    for large n*k products.
+    """
     n_bins = 1 + n_fft // 2
-    n = np.arange(n_fft, dtype=np.float64)[:, None]
-    k = np.arange(n_bins, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * n * k / n_fft
-    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_bins), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_bins), 1)
+    phase_int = (n * k) % n_fft  # exact in int32 for n_fft <= 65536
+    ang = phase_int.astype(jnp.float32) * jnp.float32(2.0 * np.pi / n_fft)
+    return jnp.cos(ang), -jnp.sin(ang)
 
 
 def _power_spectrum(frames: jnp.ndarray, n_fft: int, use_fft: bool) -> jnp.ndarray:
@@ -180,14 +186,14 @@ def _power_spectrum(frames: jnp.ndarray, n_fft: int, use_fft: bool) -> jnp.ndarr
     if use_fft:
         z = jnp.fft.rfft(frames, axis=-1)
         return jnp.real(z) ** 2 + jnp.imag(z) ** 2
-    cos_b, sin_b = _dft_bases(n_fft)
+    cos_b, sin_b = _dft_bases_device(n_fft)
     # HIGHEST precision keeps the fp32 mantissa through the MXU (bf16x3
     # passes); parity with the float64 oracle stays within the fp32-FFT
     # noise floor (tested).
-    re = jnp.einsum("...tf,fk->...tk", frames, jnp.asarray(cos_b),
+    re = jnp.einsum("...tf,fk->...tk", frames, cos_b,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-    im = jnp.einsum("...tf,fk->...tk", frames, jnp.asarray(sin_b),
+    im = jnp.einsum("...tf,fk->...tk", frames, sin_b,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     return re * re + im * im
