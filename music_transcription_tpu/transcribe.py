@@ -120,6 +120,59 @@ def transcribe_chunks(
     return np.concatenate(list(rolls), axis=1)  # (88, N*T) — main.py:164-186
 
 
+class Transcriber:
+    """Serving-oriented wrapper: load a checkpoint once, transcribe many
+    recordings without re-initializing or re-compiling (the compiled chunk
+    pipeline is shape-stable across files)."""
+
+    def __init__(self, checkpoint_path, model_cfg=None, audio_cfg=None, mesh=None,
+                 threshold: float = 0.5, use_pallas_lstm: bool | None = None):
+        import dataclasses
+
+        if use_pallas_lstm is None:
+            # fused kernel: single-device TPU inference only
+            use_pallas_lstm = (
+                mesh is None
+                and len(jax.devices()) >= 1
+                and jax.devices()[0].platform != "cpu"
+            )
+        loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)
+        if use_pallas_lstm and not loaded.model.config.is_ast:
+            cfg = dataclasses.replace(loaded.model.config, lstm_backend="pallas")
+            loaded = LoadedModel(
+                model=TranscriptionModel(cfg), variables=loaded.variables,
+                audio_cfg=loaded.audio_cfg,
+            )
+        self.loaded = loaded
+        self.mesh = mesh
+        self.threshold = threshold
+
+    def transcribe_array(self, y: np.ndarray, threshold: float | None = None) -> list:
+        """float mono audio at the model sample rate -> list[Note]."""
+        from music_transcription_tpu.data import midi as midi_io
+
+        acfg = self.loaded.audio_cfg
+        chunks = audio_io.split_into_chunks(np.asarray(y, np.float32), acfg.chunk_samples)
+        roll = transcribe_chunks(
+            self.loaded, chunks,
+            threshold=self.threshold if threshold is None else threshold,
+            mesh=self.mesh,
+        )
+        return midi_io.pianoroll_to_notes(roll, fs=acfg.frame_rate)
+
+    def transcribe_file(self, audio_path, output_path=None, threshold=None):
+        from music_transcription_tpu.data import midi as midi_io
+
+        acfg = self.loaded.audio_cfg
+        y, _ = audio_io.load_audio(audio_path, sr=acfg.sample_rate, mono=True)
+        notes = self.transcribe_array(y, threshold=threshold)
+        if output_path is None:
+            stem, _ = os.path.splitext(str(audio_path))
+            output_path = stem + "_transcription.mid"
+        midi_io.save_midi(midi_io.notes_to_midi(notes), output_path)
+        return output_path
+
+
 def transcribe_audio(
     audio_path,
     checkpoint_path,

@@ -105,3 +105,16 @@ def test_main_cli(tiny_checkpoint, tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert out.exists()
     assert "Transcription completed successfully!" in proc.stdout
+
+
+def test_transcriber_class_multi_file(tiny_checkpoint, tmp_path):
+    from music_transcription_tpu.transcribe import Transcriber
+
+    t = Transcriber(tiny_checkpoint, use_pallas_lstm=False)
+    for i, secs in enumerate((1.2, 2.5)):
+        wav = tmp_path / f"f{i}.wav"
+        _write_sine_wav(wav, seconds=secs)
+        out = t.transcribe_file(wav, tmp_path / f"f{i}.mid")
+        assert os.path.exists(out)
+    notes = t.transcribe_array(np.zeros(16000, np.float32))
+    assert isinstance(notes, list)
