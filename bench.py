@@ -40,9 +40,13 @@ def main():
     print(f"[bench] device: {dev}", file=sys.stderr)
 
     audio_cfg = AudioConfig()
+    lstm_backend = os.environ.get("BENCH_LSTM", "pallas")  # serving config
+    if jax.devices()[0].platform == "cpu":
+        lstm_backend = "scan"  # the fused kernel is TPU-only
     model_cfg = ModelConfig(
         model_type="cnn_rnn_large", n_mels=320, hidden_size=512, num_layers=3,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", lstm_backend=lstm_backend,
+        attention_backend="pallas" if lstm_backend == "pallas" else "xla",
     )
     model = TranscriptionModel(model_cfg)
     t0 = time.perf_counter()

@@ -101,6 +101,8 @@ class ModelConfig:
     # LSTM recurrence backend: "scan" (lax.scan; differentiable, shardable)
     # or "pallas" (fused TPU kernel, inference-only, single-device).
     lstm_backend: str = "scan"
+    # Attention backend: "xla" or "pallas" (clamped flash kernel, inference).
+    attention_backend: str = "xla"
 
     def __post_init__(self):
         canon = canonical_model_type(self.model_type)

@@ -91,6 +91,7 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float = 0.1
     clip_val: float = 10.0
     dtype: Any = jnp.float32
+    backend: str = "xla"  # "xla" | "pallas" (flash kernel, inference-only)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -100,13 +101,18 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = qkv.reshape(b, t, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, D)
         scale = head_dim**-0.5
-        attn = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32) * scale
-        attn = jnp.clip(attn, -self.clip_val, self.clip_val)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum(
-            "bhts,bshd->bthd", attn.astype(self.dtype), v, preferred_element_type=jnp.float32
-        )
+        if self.backend == "pallas" and not train:
+            from music_transcription_tpu.ops.attention_pallas import flash_attention_clamped
+
+            out = flash_attention_clamped(q, k, v, scale=scale, clip_val=self.clip_val)
+        else:
+            attn = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32) * scale
+            attn = jnp.clip(attn, -self.clip_val, self.clip_val)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum(
+                "bhts,bshd->bthd", attn.astype(self.dtype), v, preferred_element_type=jnp.float32
+            )
         out = out.reshape(b, t, self.hidden_dim)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
 
@@ -220,6 +226,7 @@ class CNNRNNLarge(nn.Module):
     num_attention_heads: int = 8
     compute_dtype: Any = jnp.float32
     lstm_backend: str = "scan"
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_all_heads: bool = False):
@@ -275,6 +282,7 @@ class CNNRNNLarge(nn.Module):
                 num_heads=self.num_attention_heads,
                 dropout=self.dropout,
                 dtype=dt,
+                backend=self.attention_backend,
                 name="attention",
             )(rnn_out, train)
             rnn_out = nn.LayerNorm(epsilon=1e-6, name="attention_norm")(

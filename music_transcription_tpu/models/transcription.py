@@ -48,6 +48,7 @@ def build_module(cfg: ModelConfig):
             num_attention_heads=cfg.num_attention_heads,
             compute_dtype=dtype,
             lstm_backend=cfg.lstm_backend,
+            attention_backend=cfg.attention_backend,
         )
     if cfg.model_type == "ast":
         from music_transcription_tpu.models.transformer import ASTTranscriber
