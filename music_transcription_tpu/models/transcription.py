@@ -60,6 +60,8 @@ def build_module(cfg: ModelConfig):
             decoder_heads=cfg.decoder_heads,
             dropout=cfg.dropout,
             max_output_len=cfg.max_output_len,
+            use_mock_encoder=cfg.use_mock_encoder,
+            freeze_encoder=cfg.freeze_encoder,
             compute_dtype=dtype,
         )
     raise ValueError(f"Unknown model type: {cfg.model_type}")

@@ -170,6 +170,7 @@ class ASTTranscriber(nn.Module):
     patch_frames: int = 4  # mel frames per encoder token
     n_mels: int = 128
     use_mock_encoder: bool = False
+    freeze_encoder: bool = True  # stop-gradient through the encoder (ref default)
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -221,6 +222,10 @@ class ASTTranscriber(nn.Module):
 
     def _memory(self, waveforms, train: bool):
         feats = self._encode(waveforms, train)
+        if self.freeze_encoder:
+            # reference freezes the pretrained encoder by default
+            # (transformer_model.py:105-108); gradient-stopped here.
+            feats = jax.lax.stop_gradient(feats)
         return self.enc_to_dec(feats.astype(self.compute_dtype))  # (B, S, D)
 
     # ------------------------------------------------------ teacher forcing
