@@ -43,10 +43,13 @@ def main():
     lstm_backend = os.environ.get("BENCH_LSTM", "pallas")  # serving config
     if jax.devices()[0].platform == "cpu":
         lstm_backend = "scan"  # the fused kernel is TPU-only
+    # Measured on v5e (batch 8): scan-LSTM 5.23, pallas-LSTM 4.45,
+    # pallas-LSTM + flash-attention 4.74 ms/chunk — XLA attention wins at
+    # T=938/d=192, so the flash kernel stays opt-in (BENCH_ATTN=pallas).
     model_cfg = ModelConfig(
         model_type="cnn_rnn_large", n_mels=320, hidden_size=512, num_layers=3,
         compute_dtype="bfloat16", lstm_backend=lstm_backend,
-        attention_backend="pallas" if lstm_backend == "pallas" else "xla",
+        attention_backend=os.environ.get("BENCH_ATTN", "xla"),
     )
     model = TranscriptionModel(model_cfg)
     t0 = time.perf_counter()

@@ -138,9 +138,8 @@ class Transcriber:
             )
         loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)
         if use_pallas_lstm and not loaded.model.config.is_ast:
-            cfg = dataclasses.replace(
-                loaded.model.config, lstm_backend="pallas", attention_backend="pallas"
-            )
+            # attention stays on XLA: measured faster at T=938 (bench.py note)
+            cfg = dataclasses.replace(loaded.model.config, lstm_backend="pallas")
             loaded = LoadedModel(
                 model=TranscriptionModel(cfg), variables=loaded.variables,
                 audio_cfg=loaded.audio_cfg,
