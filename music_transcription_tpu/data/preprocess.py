@@ -165,7 +165,11 @@ def preprocess_split(
 
 def _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
                        num_workers, stats, verbose):
-    """Threaded decode feeding fixed-shape device mel batches."""
+    """Threaded decode feeding fixed-shape device mel batches.
+
+    Submission is windowed (not executor.map, whose workers race arbitrarily
+    far ahead of the consumer and would hold a whole split's waveforms in
+    RAM): at most ~2 device batches of decoded chunks are in flight."""
     import jax.numpy as jnp
 
     from music_transcription_tpu.ops.mel import log_mel_chunks, num_frames
@@ -177,16 +181,20 @@ def _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
         return i, wave, roll
 
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        window = 2 * device_batch
+        futures = [pool.submit(decode, i) for i in todo[:window]]
+        next_idx = len(futures)
         batch: list = []
-        for item in pool.map(decode, todo):
+        while futures:
+            item = futures.pop(0).result()
+            if next_idx < len(todo):
+                futures.append(pool.submit(decode, todo[next_idx]))
+                next_idx += 1
             batch.append(item)
-            if len(batch) == device_batch:
+            if len(batch) == device_batch or not futures:
                 _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
                                     log_mel_chunks, num_frames, jnp, stats)
                 batch = []
-        if batch:
-            _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
-                                log_mel_chunks, num_frames, jnp, stats)
 
 
 def _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
