@@ -24,7 +24,7 @@ BASELINE_MS = 50.0  # north-star: <50 ms per 30 s chunk per chip (BASELINE.md)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))  # ~saturated: 4.12 ms/chunk @16, 4.11 @32
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")  # xplane trace output
 
