@@ -190,7 +190,13 @@ def transcribe_audio(
         if verbose:
             print(msg)
 
-    loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)
+    # Transcriber picks the serving backends (Pallas LSTM on single-device
+    # TPU, scan elsewhere) and carries the loaded model state.
+    server = Transcriber(
+        checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg,
+        mesh=mesh, threshold=threshold,
+    )
+    loaded = server.loaded
     acfg = loaded.audio_cfg
 
     log(f"Loading audio from {audio_path}...")
