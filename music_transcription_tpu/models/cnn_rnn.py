@@ -146,11 +146,14 @@ class BiLSTMStack(nn.Module):
                 layer[f"b_{d}"] = self.param(f"l{li}_b_{d}", u, (4 * self.hidden_size,))
             layers.append(layer)
             in_size = 2 * self.hidden_size
-        if self.backend == "pallas" and not train:
+        rng = self.make_rng("dropout") if (train and self.dropout > 0 and self.num_layers > 1) else None
+        if self.backend == "pallas":
             from music_transcription_tpu.ops.lstm_pallas import bilstm_stack_pallas
 
-            return bilstm_stack_pallas(x, layers, proj_dtype=self.proj_dtype)
-        rng = self.make_rng("dropout") if (train and self.dropout > 0 and self.num_layers > 1) else None
+            return bilstm_stack_pallas(
+                x, layers, proj_dtype=self.proj_dtype,
+                dropout_rate=self.dropout, deterministic=not train, dropout_rng=rng,
+            )
         return bilstm_stack(
             x, layers, dropout_rate=self.dropout, deterministic=not train,
             dropout_rng=rng, proj_dtype=self.proj_dtype,

@@ -88,9 +88,208 @@ def lstm_recurrence_pallas(xw: jnp.ndarray, wh_stacked: jnp.ndarray) -> jnp.ndar
     return jnp.swapaxes(out, 0, 1)  # (2B, T, H)
 
 
-def bilstm_layer_pallas(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32) -> jnp.ndarray:
-    """Drop-in for ops/lstm.bilstm_layer using the Pallas recurrence."""
-    hidden = layer_params["wh_fwd"].shape[0]
+# ---------------------------------------------------------------------------
+# Differentiable variant: custom VJP with a fused backward-through-time kernel
+# ---------------------------------------------------------------------------
+
+
+def _recurrence_fwd_kernel(xw_ref, wh_ref, h_out_ref, c_out_ref, h_ref, c_ref):
+    """Forward step that also records the cell-state sequence (backward
+    residual)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    two_b, four_h = xw_ref.shape[1], xw_ref.shape[2]
+    hidden = four_h // 4
+    b = two_b // 2
+    h = h_ref[:]
+    hw_f = jnp.dot(h[:b], wh_ref[0], preferred_element_type=jnp.float32)
+    hw_b = jnp.dot(h[b:], wh_ref[1], preferred_element_type=jnp.float32)
+    gates = xw_ref[0] + jnp.concatenate([hw_f, hw_b], axis=0)
+    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+    c = f * c_ref[:] + i * g
+    h_new = o * jnp.tanh(c)
+    c_ref[:] = c
+    h_ref[:] = h_new
+    h_out_ref[0] = h_new
+    c_out_ref[0] = c
+
+
+def _recurrence_bwd_kernel(xw_ref, wh_ref, h_prev_ref, c_t_ref, c_prev_ref,
+                           dh_seq_ref, dxw_ref, dwh_ref,
+                           dh_carry, dc_carry, dwh_acc):
+    """One reversed step of backward-through-time.
+
+    Grid index i walks t = T-1 .. 0 (index maps reverse the time axis);
+    h_prev/c_prev are the same sequences indexed at t-1 (clamped at t=0 and
+    masked to zero here). Recomputes the gates from xw and h_{t-1} (cheaper
+    than storing (2B,T,4H) activations), accumulates dW_hh in VMEM scratch,
+    and emits dxw per step.
+    """
+    i = pl.program_id(0)
+    t_total = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dc_carry[:] = jnp.zeros_like(dc_carry)
+        dwh_acc[:] = jnp.zeros_like(dwh_acc)
+
+    two_b, four_h = xw_ref.shape[1], xw_ref.shape[2]
+    hidden = four_h // 4
+    b = two_b // 2
+
+    is_first_step = i == t_total - 1  # t == 0
+    h_prev = jnp.where(is_first_step, 0.0, h_prev_ref[0])
+    c_prev = jnp.where(is_first_step, 0.0, c_prev_ref[0])
+    c_t = c_t_ref[0]
+
+    hw_f = jnp.dot(h_prev[:b], wh_ref[0], preferred_element_type=jnp.float32)
+    hw_b = jnp.dot(h_prev[b:], wh_ref[1], preferred_element_type=jnp.float32)
+    gates = xw_ref[0] + jnp.concatenate([hw_f, hw_b], axis=0)
+    ii = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    ff = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    gg = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    oo = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+
+    tanh_c = jnp.tanh(c_t)
+    dh_total = dh_seq_ref[0] + dh_carry[:]
+    do = dh_total * tanh_c
+    dc_total = dh_total * oo * (1.0 - tanh_c * tanh_c) + dc_carry[:]
+    di = dc_total * gg
+    df = dc_total * c_prev
+    dg = dc_total * ii
+    dgates = jnp.concatenate(
+        [
+            di * ii * (1.0 - ii),
+            df * ff * (1.0 - ff),
+            dg * (1.0 - gg * gg),
+            do * oo * (1.0 - oo),
+        ],
+        axis=1,
+    )  # (2B, 4H)
+    dxw_ref[0] = dgates
+
+    # dW_hh[d] += h_prev[d]^T @ dgates[d]
+    dwh_acc[0] += jax.lax.dot_general(
+        h_prev[:b], dgates[:b], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwh_acc[1] += jax.lax.dot_general(
+        h_prev[b:], dgates[b:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dh_{t-1}[d] = dgates[d] @ W_hh[d]^T ; dc_{t-1} = dc_total * f
+    dh_f = jax.lax.dot_general(
+        dgates[:b], wh_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_b = jax.lax.dot_general(
+        dgates[b:], wh_ref[1], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_carry[:] = jnp.concatenate([dh_f, dh_b], axis=0)
+    dc_carry[:] = dc_total * ff
+
+    @pl.when(i == t_total - 1)
+    def _store():
+        dwh_ref[:] = dwh_acc[:]
+
+
+@jax.custom_vjp
+def lstm_recurrence(xw: jnp.ndarray, wh_stacked: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable fused recurrence: (2B, T, 4H), (2, H, 4H) -> (2B, T, H)."""
+    h, _ = _lstm_recurrence_fwd_impl(xw, wh_stacked)
+    return h
+
+
+def _lstm_recurrence_fwd_impl(xw, wh_stacked):
+    two_b, t, four_h = xw.shape
+    hidden = four_h // 4
+    xw_tm = jnp.swapaxes(xw, 0, 1).astype(jnp.float32)
+    h_tm, c_tm = pl.pallas_call(
+        _recurrence_fwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, two_b, four_h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, four_h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, two_b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_b, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, two_b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, two_b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((two_b, hidden), jnp.float32),
+            pltpu.VMEM((two_b, hidden), jnp.float32),
+        ],
+    )(xw_tm, wh_stacked.astype(jnp.float32))
+    return jnp.swapaxes(h_tm, 0, 1), (xw_tm, h_tm, c_tm)
+
+
+def _lstm_recurrence_fwd(xw, wh_stacked):
+    h, (xw_tm, h_tm, c_tm) = _lstm_recurrence_fwd_impl(xw, wh_stacked)
+    return h, (xw_tm, wh_stacked.astype(jnp.float32), h_tm, c_tm)
+
+
+def _lstm_recurrence_bwd(residuals, dh):
+    xw_tm, wh, h_tm, c_tm = residuals
+    t, two_b, four_h = xw_tm.shape
+    hidden = four_h // 4
+    dh_tm = jnp.swapaxes(dh, 0, 1).astype(jnp.float32)  # (T, 2B, H)
+
+    rev = lambda i: (t - 1 - i, 0, 0)
+    rev_prev = lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0)  # t-1 row (clamped)
+    dxw_tm, dwh = pl.pallas_call(
+        _recurrence_bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, two_b, four_h), rev, memory_space=pltpu.VMEM),      # xw_t
+            pl.BlockSpec((2, hidden, four_h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_b, hidden), rev_prev, memory_space=pltpu.VMEM),  # h_{t-1}
+            pl.BlockSpec((1, two_b, hidden), rev, memory_space=pltpu.VMEM),       # c_t
+            pl.BlockSpec((1, two_b, hidden), rev_prev, memory_space=pltpu.VMEM),  # c_{t-1}
+            pl.BlockSpec((1, two_b, hidden), rev, memory_space=pltpu.VMEM),       # dh_t
+        ],
+        out_specs=[
+            pl.BlockSpec((1, two_b, four_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, four_h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, two_b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((2, hidden, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((two_b, hidden), jnp.float32),
+            pltpu.VMEM((two_b, hidden), jnp.float32),
+            pltpu.VMEM((2, hidden, four_h), jnp.float32),
+        ],
+    )(xw_tm, wh, h_tm, c_tm, c_tm, dh_tm)
+    return jnp.swapaxes(dxw_tm, 0, 1), dwh
+
+
+lstm_recurrence.defvjp(_lstm_recurrence_fwd, _lstm_recurrence_bwd)
+
+
+def bilstm_layer_pallas(
+    x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32,
+    differentiable: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ops/lstm.bilstm_layer using the Pallas recurrence.
+
+    ``differentiable=True`` routes through the custom-VJP variant (fused
+    backward-through-time kernel); the plain variant skips the cell-state
+    residual and is the cheapest pure-inference path."""
     b = x.shape[0]
 
     def proj(w, bias):
@@ -104,15 +303,32 @@ def bilstm_layer_pallas(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float
     xw_b = proj(layer_params["wi_bwd"], layer_params["b_bwd"])
     xw = jnp.concatenate([xw_f, jnp.flip(xw_b, axis=1)], axis=0)  # (2B, T, 4H)
     wh = jnp.stack([layer_params["wh_fwd"], layer_params["wh_bwd"]])
-    hs = lstm_recurrence_pallas(xw, wh)  # (2B, T, H)
+    recurrence = lstm_recurrence if differentiable else lstm_recurrence_pallas
+    hs = recurrence(xw, wh)  # (2B, T, H)
     h_f, h_b_rev = hs[:b], hs[b:]
     return jnp.concatenate([h_f, jnp.flip(h_b_rev, axis=1)], axis=-1)
 
 
-def bilstm_stack_pallas(x: jnp.ndarray, layers: list[dict], proj_dtype=jnp.float32) -> jnp.ndarray:
-    """Inference-path multi-layer BiLSTM on the Pallas recurrence
-    (no dropout: eval mode only)."""
+def bilstm_stack_pallas(
+    x: jnp.ndarray,
+    layers: list[dict],
+    proj_dtype=jnp.float32,
+    *,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """Multi-layer BiLSTM on the Pallas recurrence (same inter-layer dropout
+    semantics as ops/lstm.bilstm_stack; differentiable when training)."""
     out = x
-    for params in layers:
-        out = bilstm_layer_pallas(out, params, proj_dtype=proj_dtype)
+    for li, params in enumerate(layers):
+        out = bilstm_layer_pallas(
+            out, params, proj_dtype=proj_dtype, differentiable=not deterministic
+        )
+        is_last = li == len(layers) - 1
+        if dropout_rate > 0.0 and not deterministic and not is_last:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = 1.0 - dropout_rate
+            mask = jax.random.bernoulli(sub, keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
     return out
