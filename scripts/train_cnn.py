@@ -50,6 +50,10 @@ def build_parser():
     m.add_argument("--no_onset_offset_heads", action="store_true")
     m.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    m.add_argument("--lstm_backend", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="auto = fused Pallas kernels on single-device TPU "
+                        "(measured 24%% faster steps), scan when sharded/CPU")
 
     e = p.add_argument_group("execution")
     e.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
@@ -104,6 +108,12 @@ def main(argv=None):
     from music_transcription_tpu.train.checkpoints import epoch_from_checkpoint_name
     from music_transcription_tpu.train.loop import train_model
 
+    lstm_backend = args.lstm_backend
+    if lstm_backend == "auto":
+        n_dev = args.data_parallel or len(jax.devices())
+        single_tpu = n_dev == 1 and jax.devices()[0].platform != "cpu"
+        lstm_backend = "pallas" if single_tpu else "scan"
+
     audio_cfg = AudioConfig(n_mels=args.n_mels, chunk_length=args.chunk_length)
     model_cfg = ModelConfig(
         model_type=args.model_type,
@@ -114,6 +124,7 @@ def main(argv=None):
         use_attention=not args.no_attention,
         use_onset_offset_heads=not args.no_onset_offset_heads,
         compute_dtype=args.compute_dtype,
+        lstm_backend=lstm_backend,
     )
     train_cfg = TrainConfig(
         epochs=args.epochs,
