@@ -133,3 +133,38 @@ def test_log_mel_chunks_matches_loop():
     for i in range(3):
         single = MEL.log_mel_numpy(chunks[i], small)
         assert np.abs(batched[i] - single).max() < 6e-2
+
+
+def test_log_mel_gather_framing_path():
+    """hop that does not divide n_fft exercises the gather framing fallback."""
+    import jax.numpy as jnp
+
+    cfg = AudioConfig(n_mels=32, hop_length=500, n_fft=2048, chunk_length=1.0)
+    rng = np.random.default_rng(3)
+    y = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+    ref = MEL.log_mel_numpy(y, cfg)
+    got = np.asarray(MEL.log_mel(jnp.asarray(y), cfg))
+    assert got.shape == ref.shape == (32, 1 + 8000 // 500)
+    assert np.abs(got - ref).max() < 6e-2
+
+
+def test_log_mel_fft_and_matmul_paths_agree():
+    import jax.numpy as jnp
+
+    cfg = AudioConfig(n_mels=32, chunk_length=1.0)
+    rng = np.random.default_rng(4)
+    y = jnp.asarray((0.3 * rng.standard_normal((2, 8192))).astype(np.float32))
+    a = np.asarray(MEL.log_mel_batch(y, cfg, use_fft=True))
+    b = np.asarray(MEL.log_mel_batch(y, cfg, use_fft=False))
+    assert np.abs(a - b).max() < 6e-2
+
+
+def test_log_mel_custom_win_length():
+    import jax.numpy as jnp
+
+    cfg = AudioConfig(n_mels=32, win_length=1024, chunk_length=1.0)
+    rng = np.random.default_rng(5)
+    y = (0.1 * rng.standard_normal(6000)).astype(np.float32)
+    ref = MEL.log_mel_numpy(y, cfg)
+    got = np.asarray(MEL.log_mel(jnp.asarray(y), cfg))
+    assert np.abs(got - ref).max() < 6e-2
