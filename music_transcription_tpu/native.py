@@ -46,13 +46,14 @@ def _build() -> bool:
         return False
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True
+    tmp = f"{_SO}.tmp.{os.getpid()}"  # per-process tmp: concurrent builds race safely
     for cxx in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
+                [cxx, "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
-            os.replace(_SO + ".tmp", _SO)
+            os.replace(tmp, _SO)  # atomic; last writer wins with identical content
             return True
         except (FileNotFoundError, subprocess.CalledProcessError, subprocess.TimeoutExpired):
             continue
