@@ -132,6 +132,10 @@ def _instrument_roll(inst, fs, times, pedal_threshold):
     roll = _fill_roll(inst.notes, fs, n_cols)
 
     if pedal_threshold is not None:
+        # pretty_midi applies the running-max only on pedal on->off
+        # transitions; a sustain-on that never receives a pedal-off is
+        # silently dropped (no tail extension) — matched here because the
+        # reference's MAESTRO training targets were produced this way.
         pedal_on_at = 0
         is_on = False
         for cc in inst.control_changes:
@@ -145,16 +149,15 @@ def _instrument_roll(inst, fs, times, pedal_threshold):
                 seg = roll[:, pedal_on_at:t]
                 roll[:, pedal_on_at:t] = np.maximum.accumulate(seg, axis=1)
                 is_on = False
-        if is_on:  # pedal held to end of file
-            seg = roll[:, pedal_on_at:]
-            roll[:, pedal_on_at:] = np.maximum.accumulate(seg, axis=1)
 
     if times is None:
         return roll
     cols = np.round(np.asarray(times) * fs).astype(np.int64)
     out = np.zeros((128, len(cols)))
     for i, (a, b) in enumerate(zip(cols[:-1], cols[1:])):
-        if 0 <= a < n_cols and b > a:
+        if 0 <= a < n_cols:
+            if b == a:  # pretty_midi widens empty spans to one column
+                b = a + 1
             out[:, i] = roll[:, a:b].mean(axis=1)
     return out
 
@@ -226,6 +229,11 @@ def load_midi(path) -> MidiFile:
         raise ValueError(f"{path}: not a Standard MIDI File")
     hlen = struct.unpack(">I", data[4:8])[0]
     fmt, ntrks, division = struct.unpack(">HHH", data[8:14])
+    if fmt not in (0, 1):
+        raise ValueError(
+            f"{path}: SMF format {fmt} is not supported (independent-sequence "
+            f"format-2 files have per-track tempo maps)"
+        )
     if division & 0x8000:
         raise ValueError("SMPTE time division is not supported")
     pos = 8 + hlen
@@ -311,10 +319,14 @@ def load_midi(path) -> MidiFile:
             elif kind == 0x90 and d2 > 0:
                 pending.setdefault((channel, d1), []).append((tick, d2))
             elif kind == 0x80 or (kind == 0x90 and d2 == 0):
+                # pretty_midi semantics: a note_off closes ALL open notes at
+                # this pitch; zero-length ones (on tick == off tick) are kept
+                # open for a later off rather than dropped.
                 stack = pending.get((channel, d1))
                 if stack:
-                    on_tick, vel = stack.pop(0)
-                    if tick > on_tick:
+                    closed = [(on, vel) for on, vel in stack if on != tick]
+                    kept = [(on, vel) for on, vel in stack if on == tick]
+                    for on_tick, vel in closed:
                         inst.notes.append(
                             Note(
                                 pitch=d1,
@@ -323,6 +335,10 @@ def load_midi(path) -> MidiFile:
                                 velocity=vel,
                             )
                         )
+                    if closed and kept:  # same-tick note-ons stay open
+                        pending[(channel, d1)] = kept
+                    else:
+                        del pending[(channel, d1)]
         for inst in per_channel.values():
             if inst.notes or inst.control_changes:
                 inst.notes.sort(key=lambda n: (n.start, n.pitch))

@@ -134,6 +134,11 @@ class BiLSTMStack(nn.Module):
         def u(key, shape):
             return jax.random.uniform(key, shape, jnp.float32, -k, k)
 
+        from music_transcription_tpu.ops.lstm import combined_bias_init
+
+        def b_init(key, shape):
+            return combined_bias_init(key, shape, k)
+
         layers = []
         in_size = self.input_size
         for li in range(self.num_layers):
@@ -143,7 +148,7 @@ class BiLSTMStack(nn.Module):
                 layer[f"wh_{d}"] = self.param(
                     f"l{li}_wh_{d}", u, (self.hidden_size, 4 * self.hidden_size)
                 )
-                layer[f"b_{d}"] = self.param(f"l{li}_b_{d}", u, (4 * self.hidden_size,))
+                layer[f"b_{d}"] = self.param(f"l{li}_b_{d}", b_init, (4 * self.hidden_size,))
             layers.append(layer)
             in_size = 2 * self.hidden_size
         rng = self.make_rng("dropout") if (train and self.dropout > 0 and self.num_layers > 1) else None

@@ -25,46 +25,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _lstm_cell_scan(xw: jnp.ndarray, wh: jnp.ndarray, hidden: int) -> jnp.ndarray:
-    """Scan the recurrence given precomputed input projections.
+def fused_direction_inputs(
+    x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prepare the fused-direction recurrence inputs for one BiLSTM layer.
 
-    xw: (B, T, 4H) = x @ W_ih + b ;  wh: (H, 4H). Returns (B, T, H).
-    """
-    b = xw.shape[0]
-    h0 = jnp.zeros((b, hidden), dtype=jnp.float32)
-    c0 = jnp.zeros((b, hidden), dtype=jnp.float32)
-
-    def step(carry, xt):
-        h, c = carry
-        gates = xt + jnp.dot(h, wh, preferred_element_type=jnp.float32)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
-
-    xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H) scan over time
-    _, hs = jax.lax.scan(step, (h0, c0), xw_t)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
-
-
-def bilstm_layer(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32) -> jnp.ndarray:
-    """One bidirectional layer: (B, T, I) -> (B, T, 2H).
-
-    Output feature order matches torch: [forward_h, backward_h] where
-    backward_h[t] is the backward pass's output for timestep t.
+    Returns (xw, wh): xw (2B, T, 4H) is [forward projections; time-reversed
+    backward projections] stacked on batch; wh (2, H, 4H) stacks the
+    per-direction recurrent weights.
 
     ``proj_dtype`` controls the *input projection* matmul only (the dominant
     FLOPs: (B*T, I) x (I, 4H) once per layer); bfloat16 there runs on the
     MXU fast path while the recurrence math stays float32 — a weaker
     precision cut than the reference's all-fp32 rule, applied only where the
     recurrent error feedback cannot amplify it (the projection is feed-
-    forward; fp32 accumulation is kept).
+    forward; fp32 accumulation is kept). Shared by the scan and Pallas
+    recurrence backends so their numerics cannot diverge.
     """
-    hidden = layer_params["wh_fwd"].shape[0]
 
     def proj(w, b):
         out = jnp.einsum(
@@ -77,39 +54,43 @@ def bilstm_layer(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32) -> 
 
     xw_f = proj(layer_params["wi_fwd"], layer_params["b_fwd"])
     xw_b = proj(layer_params["wi_bwd"], layer_params["b_bwd"])
-    same_wh = layer_params["wh_fwd"].shape == layer_params["wh_bwd"].shape
-    if same_wh:
-        # Fuse both directions into one scan over a 2B batch. The backward
-        # direction consumes the time-reversed sequence; its weights differ,
-        # so block-diagonal would be needed for a single matmul — instead we
-        # stack along batch and use per-half weights via one concatenated wh.
-        xw_b_rev = jnp.flip(xw_b, axis=1)
-        xw = jnp.concatenate([xw_f, xw_b_rev], axis=0)  # (2B, T, 4H)
-        b = x.shape[0]
-        wh = jnp.stack([layer_params["wh_fwd"], layer_params["wh_bwd"]])  # (2, H, 4H)
+    xw = jnp.concatenate([xw_f, jnp.flip(xw_b, axis=1)], axis=0)  # (2B, T, 4H)
+    wh = jnp.stack([layer_params["wh_fwd"], layer_params["wh_bwd"]])  # (2, H, 4H)
+    return xw, wh
 
-        hidden_ = hidden
-        h0 = jnp.zeros((2 * b, hidden_), dtype=jnp.float32)
-        c0 = jnp.zeros((2 * b, hidden_), dtype=jnp.float32)
 
-        def step(carry, xt):
-            h, c = carry
-            h2 = h.reshape(2, b, hidden_)
-            hw = jnp.einsum("dbh,dhk->dbk", h2, wh, preferred_element_type=jnp.float32)
-            gates = xt + hw.reshape(2 * b, 4 * hidden_)
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (h, c), h
+def split_direction_outputs(hs: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(2B, T, H) fused recurrence output -> (B, T, 2H) in torch order
+    [forward_h, backward_h], un-reversing the backward half."""
+    return jnp.concatenate([hs[:b], jnp.flip(hs[b:], axis=1)], axis=-1)
 
-        _, hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xw, 0, 1))
-        hs = jnp.swapaxes(hs, 0, 1)  # (2B, T, H)
-        h_f, h_b_rev = hs[:b], hs[b:]
-        h_b = jnp.flip(h_b_rev, axis=1)
-    else:  # pragma: no cover - defensive
-        h_f = _lstm_cell_scan(xw_f, layer_params["wh_fwd"], hidden)
-        h_b = jnp.flip(_lstm_cell_scan(jnp.flip(xw_b, 1), layer_params["wh_bwd"], hidden), 1)
-    return jnp.concatenate([h_f, h_b], axis=-1)
+
+def bilstm_layer(x: jnp.ndarray, layer_params: dict, proj_dtype=jnp.float32) -> jnp.ndarray:
+    """One bidirectional layer: (B, T, I) -> (B, T, 2H).
+
+    Both directions run in a single scan over a 2B batch (the backward
+    direction consumes the time-reversed sequence; per-half weights are
+    applied via the stacked wh).
+    """
+    b = x.shape[0]
+    hidden = layer_params["wh_fwd"].shape[0]
+    xw, wh = fused_direction_inputs(x, layer_params, proj_dtype)
+
+    h0 = jnp.zeros((2 * b, hidden), dtype=jnp.float32)
+    c0 = jnp.zeros((2 * b, hidden), dtype=jnp.float32)
+
+    def step(carry, xt):
+        h, c = carry
+        h2 = h.reshape(2, b, hidden)
+        hw = jnp.einsum("dbh,dhk->dbk", h2, wh, preferred_element_type=jnp.float32)
+        gates = xt + hw.reshape(2 * b, 4 * hidden)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xw, 0, 1))
+    return split_direction_outputs(jnp.swapaxes(hs, 0, 1), b)
 
 
 def bilstm_stack(
@@ -135,6 +116,17 @@ def bilstm_stack(
     return out
 
 
+def combined_bias_init(key, shape, k):
+    """torch stores two independent uniform(-k, k) biases (b_ih, b_hh) that
+    are always summed; the combined bias is the sum of two independent
+    draws (triangular on [-2k, 2k])."""
+    k1, k2 = jax.random.split(key)
+    return (
+        jax.random.uniform(k1, shape, jnp.float32, -k, k)
+        + jax.random.uniform(k2, shape, jnp.float32, -k, k)
+    )
+
+
 def init_bilstm_params(
     rng, input_size: int, hidden_size: int, num_layers: int
 ) -> list[dict]:
@@ -153,10 +145,10 @@ def init_bilstm_params(
             {
                 "wi_fwd": u(keys[1], (in_size, 4 * hidden_size)),
                 "wh_fwd": u(keys[2], (hidden_size, 4 * hidden_size)),
-                "b_fwd": u(keys[3], (4 * hidden_size,)) + u(keys[3], (4 * hidden_size,)),
+                "b_fwd": combined_bias_init(keys[3], (4 * hidden_size,), k),
                 "wi_bwd": u(keys[4], (in_size, 4 * hidden_size)),
                 "wh_bwd": u(keys[5], (hidden_size, 4 * hidden_size)),
-                "b_bwd": u(keys[6], (4 * hidden_size,)) + u(keys[6], (4 * hidden_size,)),
+                "b_bwd": combined_bias_init(keys[6], (4 * hidden_size,), k),
             }
         )
         in_size = 2 * hidden_size

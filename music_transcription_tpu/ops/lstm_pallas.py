@@ -14,9 +14,11 @@ sequential grid over T:
     fused gate math runs on the VPU right after the MXU matmul
 
 Semantics are identical to ops/lstm.py's fused-direction scan (same fp32
-math, torch gate order); tests assert elementwise agreement. Used for the
-forward/inference path — training keeps the lax.scan formulation (autodiff
-through the scan), which is exactly the reference's serving/teaching split.
+math, torch gate order); tests assert elementwise agreement. Two variants:
+``lstm_recurrence_pallas`` (forward only, cheapest inference path) and
+``lstm_recurrence`` (custom VJP whose backward is itself a fused
+backward-through-time kernel — used for single-device training). Sharded
+(multi-device) paths use the lax.scan formulation, which XLA can partition.
 """
 
 from __future__ import annotations
@@ -25,6 +27,26 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _blockdiag_gates(xw_t, h, wh_ref):
+    """gates = xw[t] + blockdiag(h) @ wh — forward half uses wh[0],
+    backward half wh[1]. Shared by all recurrence kernels."""
+    b = h.shape[0] // 2
+    hw_f = jnp.dot(h[:b], wh_ref[0], preferred_element_type=jnp.float32)
+    hw_b = jnp.dot(h[b:], wh_ref[1], preferred_element_type=jnp.float32)
+    return xw_t + jnp.concatenate([hw_f, hw_b], axis=0)  # (2B, 4H)
+
+
+def _gate_update(gates, c_prev):
+    """torch-order (i, f, g, o) LSTM cell update -> (h, c)."""
+    hidden = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+    c = f * c_prev + i * g
+    return o * jnp.tanh(c), c
 
 
 def _recurrence_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref):
@@ -39,22 +61,8 @@ def _recurrence_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref):
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    two_b, four_h = xw_ref.shape[1], xw_ref.shape[2]
-    hidden = four_h // 4
-    b = two_b // 2
-
-    h = h_ref[:]  # (2B, H)
-    # block-diagonal recurrent matmul: forward half uses wh[0], backward wh[1]
-    hw_f = jnp.dot(h[:b], wh_ref[0], preferred_element_type=jnp.float32)
-    hw_b = jnp.dot(h[b:], wh_ref[1], preferred_element_type=jnp.float32)
-    gates = xw_ref[0] + jnp.concatenate([hw_f, hw_b], axis=0)  # (2B, 4H)
-
-    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
-    c = f * c_ref[:] + i * g
-    h_new = o * jnp.tanh(c)
+    gates = _blockdiag_gates(xw_ref[0], h_ref[:], wh_ref)
+    h_new, c = _gate_update(gates, c_ref[:])
     c_ref[:] = c
     h_ref[:] = h_new
     out_ref[0] = h_new
@@ -103,19 +111,8 @@ def _recurrence_fwd_kernel(xw_ref, wh_ref, h_out_ref, c_out_ref, h_ref, c_ref):
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    two_b, four_h = xw_ref.shape[1], xw_ref.shape[2]
-    hidden = four_h // 4
-    b = two_b // 2
-    h = h_ref[:]
-    hw_f = jnp.dot(h[:b], wh_ref[0], preferred_element_type=jnp.float32)
-    hw_b = jnp.dot(h[b:], wh_ref[1], preferred_element_type=jnp.float32)
-    gates = xw_ref[0] + jnp.concatenate([hw_f, hw_b], axis=0)
-    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
-    c = f * c_ref[:] + i * g
-    h_new = o * jnp.tanh(c)
+    gates = _blockdiag_gates(xw_ref[0], h_ref[:], wh_ref)
+    h_new, c = _gate_update(gates, c_ref[:])
     c_ref[:] = c
     h_ref[:] = h_new
     h_out_ref[0] = h_new
@@ -290,23 +287,16 @@ def bilstm_layer_pallas(
     ``differentiable=True`` routes through the custom-VJP variant (fused
     backward-through-time kernel); the plain variant skips the cell-state
     residual and is the cheapest pure-inference path."""
+    from music_transcription_tpu.ops.lstm import (
+        fused_direction_inputs,
+        split_direction_outputs,
+    )
+
     b = x.shape[0]
-
-    def proj(w, bias):
-        out = jnp.einsum(
-            "bti,ih->bth", x.astype(proj_dtype), w.astype(proj_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return out + bias
-
-    xw_f = proj(layer_params["wi_fwd"], layer_params["b_fwd"])
-    xw_b = proj(layer_params["wi_bwd"], layer_params["b_bwd"])
-    xw = jnp.concatenate([xw_f, jnp.flip(xw_b, axis=1)], axis=0)  # (2B, T, 4H)
-    wh = jnp.stack([layer_params["wh_fwd"], layer_params["wh_bwd"]])
+    xw, wh = fused_direction_inputs(x, layer_params, proj_dtype)
     recurrence = lstm_recurrence if differentiable else lstm_recurrence_pallas
     hs = recurrence(xw, wh)  # (2B, T, H)
-    h_f, h_b_rev = hs[:b], hs[b:]
-    return jnp.concatenate([h_f, jnp.flip(h_b_rev, axis=1)], axis=-1)
+    return split_direction_outputs(hs, b)
 
 
 def bilstm_stack_pallas(

@@ -135,3 +135,100 @@ def test_pianoroll_to_notes_roundtrip_through_roll():
         b = int(round(n.end * 31.25))
         rebuilt[n.pitch - MIN_MIDI, a:b] = 1
     assert (rebuilt == roll).all()
+
+
+def test_pedal_held_to_eof_not_extended():
+    """pretty_midi only applies sustain on pedal on->off transitions; a
+    pedal still down at end of file is dropped — targets must match."""
+    inst = M.Instrument(
+        notes=[M.Note(pitch=60, start=0.0, end=0.1, velocity=50)],
+        control_changes=[M.ControlChange(number=64, value=100, time=0.0)],  # never released
+    )
+    roll = M.MidiFile(instruments=[inst]).piano_roll(fs=100)
+    assert (roll[60, :10] == 50).all()
+    assert roll[60, 10:].sum() == 0  # NOT extended
+
+
+def test_note_off_closes_all_open_notes(tmp_path):
+    """Two overlapping note-ons at the same pitch end together on one off
+    (pretty_midi re-strike semantics)."""
+    import struct
+
+    division = 480
+
+    def vl(v):
+        return M._varlen(v)
+
+    # note_on @0, note_on @240, note_off @480
+    track = (
+        vl(0) + bytes([0x90, 60, 80])
+        + vl(240) + bytes([0x90, 60, 90])
+        + vl(240) + bytes([0x80, 60, 0])
+        + b"\x00\xff\x2f\x00"
+    )
+    data = (
+        b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+        + b"MTrk" + struct.pack(">I", len(track)) + track
+    )
+    p = tmp_path / "overlap.mid"
+    p.write_bytes(data)
+    back = M.load_midi(p)
+    notes = sorted(back.instruments[0].notes, key=lambda n: n.start)
+    assert len(notes) == 2
+    assert notes[0].end == notes[1].end  # both closed by the single off
+    assert notes[0].velocity == 80 and notes[1].velocity == 90
+
+
+def test_same_tick_note_kept_open(tmp_path):
+    """note_on and note_off on the same tick: the note stays open for a
+    later off when the off also closed another note (pretty_midi rule)."""
+    import struct
+
+    division = 480
+    vl = M._varlen
+    # on@0 (vel 80), on@480 (vel 90), off@480 (closes the first; keeps the
+    # second open since it started on the off tick), off@960 (closes second)
+    track = (
+        vl(0) + bytes([0x90, 60, 80])
+        + vl(480) + bytes([0x90, 60, 90])
+        + vl(0) + bytes([0x80, 60, 0])
+        + vl(480) + bytes([0x80, 60, 0])
+        + b"\x00\xff\x2f\x00"
+    )
+    data = (
+        b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+        + b"MTrk" + struct.pack(">I", len(track)) + track
+    )
+    p = tmp_path / "sametick.mid"
+    p.write_bytes(data)
+    notes = sorted(M.load_midi(p).instruments[0].notes, key=lambda n: n.start)
+    assert len(notes) == 2
+    assert notes[0].velocity == 80 and notes[1].velocity == 90
+    assert notes[1].start == pytest.approx(notes[0].end)
+
+
+def test_times_denser_than_fs_uses_single_column():
+    """times spacing < 1/fs: pretty_midi widens the empty span to one column
+    instead of leaving the frame zero."""
+    inst = M.Instrument(notes=[M.Note(pitch=60, start=0.0, end=1.0, velocity=50)])
+    mf = M.MidiFile(instruments=[inst])
+    times = np.linspace(0.0, 1.0, 50)  # spacing 0.0204 s < 1/31.25
+    roll = mf.piano_roll(fs=31.25, times=times)
+    # every frame whose start column exists in the dense roll is active
+    # (duplicated columns widened to one, pretty_midi rule); frames whose
+    # start column falls past the roll end stay zero.
+    n_cols = int(31.25 * 1.0)
+    cols = np.round(times * 31.25).astype(int)
+    expect_active = cols[:-1] < n_cols
+    assert ((roll[60, :-1] > 0) == expect_active).all()
+    assert expect_active.sum() >= 45  # the dense grid is mostly in range
+
+
+def test_format2_rejected(tmp_path):
+    import struct
+
+    data = b"MThd" + struct.pack(">IHHH", 6, 2, 1, 480) + b"MTrk" + struct.pack(">I", 4) + b"\x00\xff\x2f\x00"
+    p = tmp_path / "fmt2.mid"
+    p.write_bytes(data)
+    with pytest.raises(ValueError, match="format 2"):
+        M.load_midi(p)
