@@ -93,13 +93,17 @@ class ModelConfig:
     decoder_heads: int = 6
     max_output_len: int = 1024
     use_mock_encoder: bool = False
-    freeze_encoder: bool = True
+    # The reference freezes its *pretrained* encoder; ours trains from
+    # scratch (no pretrained weights fetchable), so freezing would cap the
+    # model at random-feature quality — default False, opt in explicitly.
+    freeze_encoder: bool = False
     # TPU-native numerics policy: bf16 matmul/conv compute, fp32 params and
     # fp32 recurrent carries (analogue of the reference's FP32-LSTM AMP rule,
     # reference models/cnn_rnn_model.py:69,309).
     compute_dtype: str = "bfloat16"
-    # LSTM recurrence backend: "scan" (lax.scan; differentiable, shardable)
-    # or "pallas" (fused TPU kernel, inference-only, single-device).
+    # LSTM recurrence backend: "scan" (lax.scan; shardable under SPMD) or
+    # "pallas" (fused TPU kernels, single-device; differentiable via a
+    # custom-VJP backward-through-time kernel).
     lstm_backend: str = "scan"
     # Attention backend: "xla" or "pallas" (clamped flash kernel, inference).
     attention_backend: str = "xla"

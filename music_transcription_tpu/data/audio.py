@@ -189,10 +189,23 @@ def load_audio(path, sr=None, mono=True, offset=0.0, duration=None):
 
 def audio_duration(path) -> float:
     """Duration in seconds without decoding samples
-    (librosa.get_duration role, reference data/dataset.py:73)."""
-    with open(path, "rb") as f:
-        _, channels, sr, bits, _, data_size = _parse_wav_header(f)
-    return data_size / (channels * (bits // 8)) / sr
+    (librosa.get_duration role, reference data/dataset.py:73). Non-WAV
+    containers (e.g. the .mp3 fallback) go through soundfile if present."""
+    try:
+        with open(path, "rb") as f:
+            _, channels, sr, bits, _, data_size = _parse_wav_header(f)
+        return data_size / (channels * (bits // 8)) / sr
+    except AudioDecodeError:
+        try:  # pragma: no cover - optional dependency
+            import soundfile as sf
+
+            info = sf.info(str(path))
+            return info.frames / info.samplerate
+        except ImportError:
+            raise AudioDecodeError(
+                f"{path}: not a WAV file and no optional decoder (soundfile) "
+                f"is installed; convert to WAV for the TPU pipeline."
+            )
 
 
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -69,6 +69,11 @@ class MaestroDataset:
         self.cfg = audio_cfg or AudioConfig()
         if chunk_length is not None and chunk_length != self.cfg.chunk_length:
             self.cfg = dataclasses.replace(self.cfg, chunk_length=float(chunk_length))
+        if chunk_length is not None and not (0.0 <= overlap < 1.0):
+            raise ValueError(
+                f"overlap must be in [0, 1); got {overlap} (overlap >= 1 "
+                f"would never advance the chunk window)"
+            )
         self.chunk_length = chunk_length
         self.overlap = overlap
         self.return_waveform = return_waveform

@@ -43,11 +43,21 @@ def _probs_step(module, variables, mel):
     return jax.nn.sigmoid(logits)
 
 
-def predict_probs(model, variables, loader, *, verbose: bool = False) -> CachedPredictions:
-    """One batched forward pass over the loader; probabilities cached on host."""
+def predict_probs(model, variables, loader, *, verbose: bool = False,
+                  pad_batch_to: int | None = None) -> CachedPredictions:
+    """One batched forward pass over the loader; probabilities cached on host.
+
+    ``pad_batch_to`` zero-pads a smaller final batch up to a fixed size so
+    the jitted forward compiles exactly once (minutes per shape on a
+    remote-compile backend); padded rows are discarded."""
     probs_l, targets_l, lengths_l = [], [], []
     for bi, (mel, roll, lengths) in enumerate(loader):
+        n_real = mel.shape[0]
+        if pad_batch_to and n_real < pad_batch_to:
+            pad = pad_batch_to - n_real
+            mel = np.pad(np.asarray(mel), ((0, pad),) + ((0, 0),) * (mel.ndim - 1))
         p = np.asarray(_probs_step(model.module, variables, jnp.asarray(mel)), np.float16)
+        p = p[:n_real]
         for i in range(p.shape[0]):
             t = int(lengths[i])
             probs_l.append(p[i, :, :t])

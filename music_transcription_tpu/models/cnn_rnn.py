@@ -125,7 +125,7 @@ class BiLSTMStack(nn.Module):
     num_layers: int
     dropout: float = 0.0
     proj_dtype: Any = jnp.float32
-    backend: str = "scan"  # "scan" | "pallas" (inference-only fused kernel)
+    backend: str = "scan"  # "scan" | "pallas" (fused kernels, single-device)
 
     @nn.compact
     def __call__(self, x, train: bool):

@@ -112,8 +112,9 @@ class REMITokenizer:
                 continue
             if self.note_on_base <= tok < self.note_off_base:
                 pitch = tok - self.note_on_base
-                active.add(pitch)
-                pr[pitch, t] = 1.0
+                if pitch < 88:  # ids 98..109 decode to pitches >= 88: ignore
+                    active.add(pitch)
+                    pr[pitch, t] = 1.0
             elif self.note_off_base <= tok < self.velocity_base:
                 active.discard(tok - self.note_off_base)
             elif self.time_shift_base <= tok < self.time_shift_base + self.max_time_shift:

@@ -111,6 +111,15 @@ def transcribe_chunks(
         device_chunks = mesh_lib.shard_batch(chunks, mesh)
         variables = mesh_lib.replicate(loaded.variables, mesh)
     else:
+        # Bucket the chunk count to the next power of two so serving many
+        # recordings compiles O(log N) programs, not one per length
+        # (each new shape costs minutes on a remote-compile backend).
+        n = chunks.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            chunks = np.pad(np.asarray(chunks), ((0, bucket - n), (0, 0)))
         device_chunks = jnp.asarray(chunks)
         variables = loaded.variables
     rolls = _chunks_to_rolls(
@@ -130,10 +139,12 @@ class Transcriber:
         import dataclasses
 
         if use_pallas_lstm is None:
-            # fused kernel: single-device TPU inference only
+            # fused kernel: single-device TPU inference only (transcribe_chunks
+            # auto-shards whenever >1 device is visible, and the pallas_call
+            # has no SPMD partitioning rule)
             use_pallas_lstm = (
                 mesh is None
-                and len(jax.devices()) >= 1
+                and len(jax.devices()) == 1
                 and jax.devices()[0].platform != "cpu"
             )
         loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)

@@ -182,7 +182,8 @@ def main(argv=None):
     loader = Loader(dataset, args.batch_size, num_workers=4,
                     pad_to=audio_cfg.mel_frames_per_chunk)
     cached = E.predict_probs(loaded.model, loaded.variables, loader,
-                             verbose=not args.headless)
+                             verbose=not args.headless,
+                             pad_batch_to=args.batch_size)
 
     if args.tune_threshold:
         best_t, best_f1 = E.tune_threshold(

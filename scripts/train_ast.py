@@ -88,7 +88,19 @@ def main(argv=None):
 
     if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, "train")):
         dataset = CachedMaestroDataset(args.cache_dir, "train")
-        pretokenized = dataset.metadata.get("tokenize", False)
+        meta = dataset.metadata
+        # AST needs waveforms: a mel cache or mismatched chunking would
+        # silently mis-pair audio and tokens (train_cnn validates the same
+        # class of conflicts; mirror that here).
+        if not (meta.get("return_waveform") or meta.get("tokenize")):
+            print(f"Error: cache {args.cache_dir} holds mel features; the AST "
+                  f"model needs a --waveform (or --tokenize) cache.")
+            return 1
+        if meta.get("chunk_length") not in (None, args.chunk_length):
+            print(f"Error: cache chunk_length={meta.get('chunk_length')}s does "
+                  f"not match --chunk_length {args.chunk_length}.")
+            return 1
+        pretokenized = meta.get("tokenize", False)
     else:
         dataset = MaestroDataset(
             args.root_dir, split="train", chunk_length=args.chunk_length,
@@ -136,10 +148,16 @@ def main(argv=None):
     @jax.jit
     def step(params, opt_state, wave, tokens, rng):
         def loss_fn(p):
+            # Next-token objective: the decoder consumes tokens[:, :-1] and
+            # predicts tokens[:, 1:]. (The reference trains UNSHIFTED —
+            # logits at t scored against the token just fed at t — which a
+            # decoder solves by copying its input and never learns
+            # generation; fixed here deliberately.)
             logits = model.module.apply(
-                {"params": p}, wave, targets=tokens, train=True, rngs={"dropout": rng}
+                {"params": p}, wave, targets=tokens[:, :-1], train=True,
+                rngs={"dropout": rng},
             )
-            return model.loss(logits, tokens)
+            return model.loss(logits, tokens[:, 1:])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)

@@ -181,3 +181,11 @@ def test_cli_full_run_and_info_and_verify(maestro_root, tmp_path):
     assert "train: 5 chunks" in info.stdout
     # 3 s file, 2 s chunks: tail is exactly 50% of the window, kept (>=)
     assert "validation: 2 chunks" in info.stdout
+
+
+def test_remi_decode_out_of_range_note_on_ignored():
+    """Generated ids 98-109 map past pitch 87; decode must not crash."""
+    tok = REMITokenizer()
+    roll = tok.decode_to_pianoroll([0, 98, 109, 305, 1], max_t=16)
+    assert roll.shape[0] == 88
+    assert roll.sum() == 0  # nothing valid was played
