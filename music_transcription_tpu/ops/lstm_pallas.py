@@ -145,16 +145,21 @@ def _recurrence_fwd_kernel(xw_ref, wh_ref, h_out_ref, c_out_ref, h_ref, c_ref):
 
 
 def _recurrence_bwd_kernel(xw_ref, wh_ref, h_prev_ref, c_t_ref, c_prev_ref,
-                           dh_seq_ref, dxw_ref, dwh_ref,
-                           dh_carry, dc_carry, dwh_acc):
+                           dh_seq_ref, dxw_ref, dh_carry, dc_carry):
     """One reversed grid step = UNROLL timesteps of backward-through-time.
 
     Grid block i covers times [T - (i+1)*U, T - i*U); within the block, u
     runs U-1 .. 0 (latest time first). h_prev/c_prev are the one-step-
     shifted sequences (zeros at t=0), prepared by the caller so the index
     maps stay block-aligned. Gates are recomputed from xw and h_{t-1}
-    (cheaper than storing (2B,T,4H) activations); dW_hh accumulates in VMEM
-    scratch and is stored on the final block.
+    (cheaper than storing (2B,T,4H) activations).
+
+    Only the sequentially-dependent work lives here (dgates and the
+    dh/dc carries). dW_hh = sum_t h_{t-1}^T dgates_t has no sequential
+    dependence, so it is computed OUTSIDE as one big MXU einsum over the
+    emitted dgates — keeping the kernel's VMEM budget to wh + blocks (the
+    in-kernel accumulator alternative needs another 4H*H fp32 buffer and
+    blows the 16 MB scoped limit at H=512, bs=16).
     """
     i = pl.program_id(0)
 
@@ -162,7 +167,6 @@ def _recurrence_bwd_kernel(xw_ref, wh_ref, h_prev_ref, c_t_ref, c_prev_ref,
     def _init():
         dh_carry[:] = jnp.zeros_like(dh_carry)
         dc_carry[:] = jnp.zeros_like(dc_carry)
-        dwh_acc[:] = jnp.zeros_like(dwh_acc)
 
     b = dh_carry.shape[0] // 2
 
@@ -196,15 +200,6 @@ def _recurrence_bwd_kernel(xw_ref, wh_ref, h_prev_ref, c_t_ref, c_prev_ref,
         )  # (2B, 4H)
         dxw_ref[u] = dgates
 
-        # dW_hh[d] += h_prev[d]^T @ dgates[d]
-        dwh_acc[0] += jax.lax.dot_general(
-            h_prev[:b], dgates[:b], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dwh_acc[1] += jax.lax.dot_general(
-            h_prev[b:], dgates[b:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         # dh_{t-1}[d] = dgates[d] @ W_hh[d]^T ; dc_{t-1} = dc_total * f
         dh_f = jax.lax.dot_general(
             dgates[:b], wh_ref[0], (((1,), (1,)), ((), ())),
@@ -216,10 +211,6 @@ def _recurrence_bwd_kernel(xw_ref, wh_ref, h_prev_ref, c_t_ref, c_prev_ref,
         )
         dh_carry[:] = jnp.concatenate([dh_f, dh_b], axis=0)
         dc_carry[:] = dc_total * ff
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _store():
-        dwh_ref[:] = dwh_acc[:]
 
 
 @jax.custom_vjp
@@ -269,7 +260,13 @@ def _lstm_recurrence_bwd(residuals, dh, unroll: int = 1):
     xw_tm, wh, h_tm, c_tm, t = residuals
     t_pad, two_b, four_h = xw_tm.shape
     hidden = four_h // 4
-    dh_tm = _pad_time(jnp.swapaxes(dh, 0, 1).astype(jnp.float32), unroll)
+    # dh must match the residuals' (forward-padded) length exactly — padding
+    # only to the backward unroll would leave the tail blocks reading past
+    # the cotangent array.
+    dh_tm = jnp.swapaxes(dh, 0, 1).astype(jnp.float32)
+    if dh_tm.shape[0] != t_pad:
+        dh_tm = jnp.pad(dh_tm, ((0, t_pad - dh_tm.shape[0]), (0, 0), (0, 0)))
+    assert t_pad % unroll == 0, (t_pad, unroll)
 
     # One-step-shifted state sequences (zeros at t=0): keeps every block's
     # index map identical and handles the t=0 boundary without masking.
@@ -279,7 +276,7 @@ def _lstm_recurrence_bwd(residuals, dh, unroll: int = 1):
 
     n_blocks = t_pad // unroll
     rev = lambda i: (n_blocks - 1 - i, 0, 0)
-    dxw_tm, dwh = pl.pallas_call(
+    dxw_tm = pl.pallas_call(
         _recurrence_bwd_kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -290,20 +287,22 @@ def _lstm_recurrence_bwd(residuals, dh, unroll: int = 1):
             pl.BlockSpec((unroll, two_b, hidden), rev, memory_space=pltpu.VMEM),  # c_{t-1}
             pl.BlockSpec((unroll, two_b, hidden), rev, memory_space=pltpu.VMEM),  # dh_t
         ],
-        out_specs=[
-            pl.BlockSpec((unroll, two_b, four_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, hidden, four_h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad, two_b, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((2, hidden, four_h), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((unroll, two_b, four_h), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, two_b, four_h), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((two_b, hidden), jnp.float32),
             pltpu.VMEM((two_b, hidden), jnp.float32),
-            pltpu.VMEM((2, hidden, four_h), jnp.float32),
         ],
     )(xw_tm, wh, h_prev_tm, c_tm, c_prev_tm, dh_tm)
+    # dW_hh[d] = sum_t h_{t-1}[d]^T @ dgates_t[d]: no sequential dependence,
+    # one MXU einsum per direction (padded rows contribute exact zeros).
+    b = two_b // 2
+    dwh = jnp.stack([
+        jnp.einsum("tbh,tbk->hk", h_prev_tm[:, :b], dxw_tm[:, :b],
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("tbh,tbk->hk", h_prev_tm[:, b:], dxw_tm[:, b:],
+                   preferred_element_type=jnp.float32),
+    ])
     return jnp.swapaxes(dxw_tm[:t], 0, 1), dwh
 
 
