@@ -179,6 +179,15 @@ def train_model(
     }
     with open(os.path.join(run_dir, "parameters.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    # parameters.txt: the reference's flat key=value dump
+    # (scripts/train_cnn.py:228-255) for drop-in tooling.
+    with open(os.path.join(run_dir, "parameters.txt"), "w") as f:
+        for section, values in manifest.items():
+            if isinstance(values, dict):
+                for k, v in sorted(values.items()):
+                    f.write(f"{section}.{k} = {v}\n")
+            else:
+                f.write(f"{section} = {values}\n")
 
     def save(name, st):
         path = os.path.join(ckpt_dir, name)
