@@ -118,3 +118,37 @@ def test_transcriber_class_multi_file(tiny_checkpoint, tmp_path):
         assert os.path.exists(out)
     notes = t.transcribe_array(np.zeros(16000, np.float32))
     assert isinstance(notes, list)
+
+
+def test_serve_cli_watch_once_and_stdin(tiny_checkpoint, tmp_path):
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    watch = tmp_path / "incoming"
+    out_dir = tmp_path / "done"
+    watch.mkdir()
+    for i in range(2):
+        _write_sine_wav(watch / f"song{i}.wav", seconds=1.0 + i)
+    (watch / "notes.txt").write_text("ignored")  # non-audio skipped
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--model", str(tiny_checkpoint), "--device", "cpu",
+         "--watch_dir", str(watch), "--out_dir", str(out_dir), "--once"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert sorted(os.listdir(out_dir)) == ["song0.mid", "song1.mid"]
+
+    # stdin mode
+    proc2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--model", str(tiny_checkpoint), "--device", "cpu", "--stdin",
+         "--out_dir", str(tmp_path / "stdin_out")],
+        input=str(watch / "song0.wav") + "\n",
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc2.returncode == 0, proc2.stdout + proc2.stderr
+    assert "song0.mid" in proc2.stdout
