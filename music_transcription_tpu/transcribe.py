@@ -74,13 +74,18 @@ def load_model(checkpoint_path, model_cfg: ModelConfig | None = None,
     return LoadedModel(model=model, variables=variables, audio_cfg=audio_cfg)
 
 
-@partial(jax.jit, static_argnames=("module", "audio_cfg"))
-def _chunks_to_rolls(module, variables, chunks, threshold, audio_cfg: AudioConfig):
-    """(N, chunk_samples) audio -> (N, 88, T) binary rolls, one fused program."""
+def _rolls_local(module, variables, chunks, threshold, audio_cfg: AudioConfig):
+    """(N, chunk_samples) audio -> (N, 88, T) binary rolls (pure, unjitted)."""
     mel = log_mel_batch(chunks, audio_cfg)  # (N, n_mels, T)
     logits = module.apply(variables, mel[:, None], train=False)  # (N, 88, T)
     probs = jax.nn.sigmoid(logits)
     return (probs > threshold).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("module", "audio_cfg"))
+def _chunks_to_rolls(module, variables, chunks, threshold, audio_cfg: AudioConfig):
+    """Jitted single-device pipeline."""
+    return _rolls_local(module, variables, chunks, threshold, audio_cfg)
 
 
 def transcribe_chunks(
@@ -107,9 +112,34 @@ def transcribe_chunks(
     if mesh is None and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh()
     if mesh is not None:
+        # shard_map over the data axis: inference has no cross-batch
+        # collectives, so every shard runs the full pipeline locally —
+        # which also lets the Pallas kernels (no SPMD partitioning rule)
+        # run per-device under a mesh.
+        from jax.sharding import PartitionSpec as P
+
         chunks, n_real = mesh_lib.pad_to_multiple(np.asarray(chunks), mesh.size, axis=0)
         device_chunks = mesh_lib.shard_batch(chunks, mesh)
         variables = mesh_lib.replicate(loaded.variables, mesh)
+        module, acfg = loaded.model.module, loaded.audio_cfg
+
+        @partial(jax.jit, static_argnames=())
+        def sharded_pipeline(variables, chunks, threshold):
+            def per_shard(variables, chunks_local, threshold):
+                return _rolls_local(module, variables, chunks_local, threshold, acfg)
+
+            # check_vma off: no collectives here, and the varying-manual-axes
+            # checker rejects scan carries initialized from constants.
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+                out_specs=P(mesh_lib.DATA_AXIS),
+                check_vma=False,
+            )(variables, chunks, threshold)
+
+        rolls = sharded_pipeline(variables, device_chunks, jnp.float32(threshold))
+        rolls = np.asarray(rolls)[:n_real]
+        return np.concatenate(list(rolls), axis=1)
     else:
         # Bucket the chunk count to the next power of two so serving many
         # recordings compiles O(log N) programs, not one per length
@@ -139,14 +169,10 @@ class Transcriber:
         import dataclasses
 
         if use_pallas_lstm is None:
-            # fused kernel: single-device TPU inference only (transcribe_chunks
-            # auto-shards whenever >1 device is visible, and the pallas_call
-            # has no SPMD partitioning rule)
-            use_pallas_lstm = (
-                mesh is None
-                and len(jax.devices()) == 1
-                and jax.devices()[0].platform != "cpu"
-            )
+            # fused kernels on any TPU topology: multi-device inference runs
+            # the pipeline under shard_map (per-shard local programs), so the
+            # pallas_call never needs an SPMD partitioning rule.
+            use_pallas_lstm = jax.devices()[0].platform != "cpu"
         loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)
         if use_pallas_lstm and not loaded.model.config.is_ast:
             # attention stays on XLA: measured faster at T=938 (bench.py note)
