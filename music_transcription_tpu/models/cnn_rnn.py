@@ -47,12 +47,14 @@ class ConvBNRelu(nn.Module):
     features: int
     kernel: tuple[int, int] = (3, 3)
     dtype: Any = jnp.float32
+    bn_axis_name: str | None = None  # sync-BN axis under shard_map/pmap
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, self.kernel, padding="SAME", dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+            axis_name=self.bn_axis_name, name="bn",
         )(x.astype(jnp.float32))
         return nn.relu(x).astype(self.dtype)
 
@@ -62,11 +64,13 @@ class ResidualBlock(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+            axis_name=self.bn_axis_name, name=name,
         )
         identity = x
         if x.shape[-1] != self.features:
@@ -193,13 +197,16 @@ class CNNRNN(nn.Module):
     dropout: float = 0.3
     compute_dtype: Any = jnp.float32
     lstm_backend: str = "scan"
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _to_nhwc(x).astype(self.compute_dtype)
-        h = ConvBNRelu(32, dtype=self.compute_dtype, name="block1")(h, train)
+        h = ConvBNRelu(32, dtype=self.compute_dtype, bn_axis_name=self.bn_axis_name,
+                       name="block1")(h, train)
         h = _maxpool_freq(h)
-        h = ConvBNRelu(64, dtype=self.compute_dtype, name="block2")(h, train)
+        h = ConvBNRelu(64, dtype=self.compute_dtype, bn_axis_name=self.bn_axis_name,
+                       name="block2")(h, train)
         h = _maxpool_freq(h)
         feats = _flatten_ct(h)  # (B, T, 64 * n_mels//4)
         if feats.shape[1] == 0:  # zero-length defensive path (ref :64-66)
@@ -235,23 +242,26 @@ class CNNRNNLarge(nn.Module):
     compute_dtype: Any = jnp.float32
     lstm_backend: str = "scan"
     attention_backend: str = "xla"
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_all_heads: bool = False):
         dt = self.compute_dtype
+        ax = self.bn_axis_name
         h = _to_nhwc(x).astype(dt)
 
-        h = ConvBNRelu(32, dtype=dt, name="conv1")(h, train)
+        h = ConvBNRelu(32, dtype=dt, bn_axis_name=ax, name="conv1")(h, train)
         h = _maxpool_freq(h)
 
-        h = ResidualBlock(64, dtype=dt, name="res_block1")(h, train)
+        h = ResidualBlock(64, dtype=dt, bn_axis_name=ax, name="res_block1")(h, train)
         h = _maxpool_freq(h)
         h = nn.Dropout(0.1, broadcast_dims=(1, 2), deterministic=not train)(h)  # Dropout2d
 
-        h = ResidualBlock(128, dtype=dt, name="res_block2")(h, train)
+        h = ResidualBlock(128, dtype=dt, bn_axis_name=ax, name="res_block2")(h, train)
         h = nn.Dropout(0.1, broadcast_dims=(1, 2), deterministic=not train)(h)
 
-        h = ConvBNRelu(256, kernel=(7, 3), dtype=dt, name="freq_aware_conv")(h, train)
+        h = ConvBNRelu(256, kernel=(7, 3), dtype=dt, bn_axis_name=ax,
+                       name="freq_aware_conv")(h, train)
         h = _maxpool_freq(h)
         h = nn.Dropout(0.15, broadcast_dims=(1, 2), deterministic=not train)(h)
 

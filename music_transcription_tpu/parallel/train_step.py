@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from music_transcription_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from music_transcription_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
 
 
 def init_train_state(model, tx, rng, sample_input) -> dict:
@@ -112,6 +112,79 @@ def make_eval_step(model, *, multi_head: bool | None = None):
         return model.loss(out, roll, lengths)
 
     return eval_step
+
+
+def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None):
+    """Data-parallel train step as an explicit-SPMD ``jax.shard_map`` program.
+
+    Equivalent to ``jit_data_parallel(make_train_step(...))`` (the compiler-
+    partitioned path) but each shard runs a fully LOCAL program with one
+    ``lax.pmean`` over gradients/metrics — which means kernels without SPMD
+    partitioning rules (the fused Pallas LSTM) run per device.
+
+    Two deliberate local-vs-global semantics (both standard for DP training):
+      * BatchNorm batch statistics are per-shard (local-BN); the updated
+        running stats are pmean'd so state stays replicated. The jit path
+        computes global-batch statistics instead.
+      * The masked-loss denominator is per-shard; with fixed-shape chunk
+        batches (the training configuration) the shard denominators are
+        equal and gradients match the jit path exactly (tested).
+    """
+    import copy
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    if hasattr(model.module, "bn_axis_name"):
+        # sync-BN: cross-shard batch statistics via the mesh axis, making
+        # this path numerically identical to the compiler-partitioned one.
+        model = copy.copy(model)
+        model.module = model.module.clone(bn_axis_name=axis)
+
+    def local_step(state, batch, dropout_rng):
+        mel, roll, lengths = batch
+        rng = jax.random.fold_in(dropout_rng, state["step"])
+        mh = multi_head if multi_head is not None else (
+            model.config.model_type == "cnn_rnn_large" and model.config.use_onset_offset_heads
+        )
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state["batch_stats"]}
+            out, new_stats = model.apply(
+                variables, mel, train=True, return_all_heads=mh, rngs={"dropout": rng}
+            )
+            return model.loss(out, roll, lengths), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)  # keep running stats replicated
+        grad_norm = optax.global_norm(grads)
+
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        safe = lambda g: jnp.where(finite, g, jnp.zeros_like(g))
+        grads = jax.tree.map(safe, grads)
+        updates, new_opt_state = tx.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        keep_new = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+        new_state = {
+            "params": keep_new(new_params, state["params"]),
+            "batch_stats": keep_new(new_stats, state["batch_stats"]),
+            "opt_state": keep_new(new_opt_state, state["opt_state"]),
+            "step": state["step"] + 1,
+        }
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "skipped": 1.0 - finite.astype(jnp.float32)}
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=({k: P() for k in ("params", "batch_stats", "opt_state", "step")},
+                  (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)), P()),
+        out_specs=({k: P() for k in ("params", "batch_stats", "opt_state", "step")}, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def jit_data_parallel(fn, mesh, *, donate_state: bool = True, state_arg: int = 0,

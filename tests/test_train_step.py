@@ -108,3 +108,36 @@ def test_weight_decay_and_clip_present():
     updates, _ = tx.update(grads, opt_state, params)
     # After clip(1.0) + adam(step 1) + lr 1e-4, update magnitude ~ lr.
     assert np.all(np.abs(np.asarray(updates["w"])) < 2 * cfg.learning_rate)
+
+
+def test_shardmap_step_matches_jit_data_parallel():
+    """Explicit-SPMD shard_map step must match the compiler-partitioned jit
+    step (fixed-shape batches -> identical shard denominators)."""
+    import optax
+
+    from music_transcription_tpu.parallel.train_step import make_train_step_shardmap
+
+    model = TranscriptionModel(MCFG)
+    tx = optax.sgd(0.1)
+    state = init_train_state(model, tx, jax.random.key(0), model.example_input(batch=1, t=12))
+    rng_np = np.random.default_rng(0)
+    mel = rng_np.standard_normal((8, 1, 16, 12)).astype(np.float32)
+    roll = (rng_np.random((8, 88, 12)) > 0.9).astype(np.float32)
+    lengths = np.full((8,), 12, np.int32)
+    batch = (jnp.asarray(mel), jnp.asarray(roll), jnp.asarray(lengths))
+    rng = jax.random.key(2)
+
+    mesh = make_mesh(8)
+    step_jit = jit_data_parallel(make_train_step(model, tx), mesh)
+    s1, m1 = step_jit(replicate(jax.tree.map(jnp.copy, state), mesh),
+                      tuple(shard_batch(np.asarray(b), mesh) for b in batch), rng)
+
+    step_sm = make_train_step_shardmap(model, tx, mesh)
+    s2, m2 = step_sm(replicate(jax.tree.map(jnp.copy, state), mesh),
+                     tuple(shard_batch(np.asarray(b), mesh) for b in batch), rng)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    # params: same tolerance story as the jit-vs-single test (BN-conv-bias
+    # grads are cancellation noise)
+    for a, b in zip(jax.tree.leaves(s1["params"]), jax.tree.leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
