@@ -122,13 +122,11 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
     ``lax.pmean`` over gradients/metrics — which means kernels without SPMD
     partitioning rules (the fused Pallas LSTM) run per device.
 
-    Two deliberate local-vs-global semantics (both standard for DP training):
-      * BatchNorm batch statistics are per-shard (local-BN); the updated
-        running stats are pmean'd so state stays replicated. The jit path
-        computes global-batch statistics instead.
-      * The masked-loss denominator is per-shard; with fixed-shape chunk
-        batches (the training configuration) the shard denominators are
-        equal and gradients match the jit path exactly (tested).
+    BatchNorm runs as sync-BN (cross-shard batch statistics via axis_name),
+    and per-shard losses pmean to the global mean, so with fixed-shape chunk
+    batches this path matches the jit path exactly (tested). The one
+    remaining local semantic: the masked-loss denominator is per-shard —
+    identical across shards for fixed-shape batches.
     """
     import copy
 
@@ -185,6 +183,26 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step_shardmap(model, mesh, *, multi_head: bool | None = None):
+    """Validation loss under shard_map (mean of per-shard masked losses)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    base = make_eval_step(model, multi_head=multi_head)
+
+    def local_eval(state, batch):
+        return jax.lax.pmean(base(state, batch), axis)
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=({k: P() for k in ("params", "batch_stats", "opt_state", "step")},
+                  (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def jit_data_parallel(fn, mesh, *, donate_state: bool = True, state_arg: int = 0,

@@ -39,7 +39,9 @@ from music_transcription_tpu.parallel.train_step import (
     init_train_state,
     jit_data_parallel,
     make_eval_step,
+    make_eval_step_shardmap,
     make_train_step,
+    make_train_step_shardmap,
 )
 from music_transcription_tpu.train import checkpoints as ckpt_lib
 from music_transcription_tpu.train.optim import make_optimizer
@@ -161,10 +163,16 @@ def train_model(
             print(f"Resumed from {resume_from} at step {int(state['step'])}")
     if mesh is not None:
         state = replicate(state, mesh)
-        step_fn = jit_data_parallel(make_train_step(model, tx), mesh)
-        eval_fn = jit_data_parallel(
-            make_eval_step(model), mesh, donate_state=False, n_args=2
-        )
+        if model_cfg.lstm_backend == "pallas":
+            # explicit-SPMD path: per-shard local programs (fused kernels
+            # have no partitioning rule), pmean'd grads, sync-BN.
+            step_fn = make_train_step_shardmap(model, tx, mesh)
+            eval_fn = make_eval_step_shardmap(model, mesh)
+        else:
+            step_fn = jit_data_parallel(make_train_step(model, tx), mesh)
+            eval_fn = jit_data_parallel(
+                make_eval_step(model), mesh, donate_state=False, n_args=2
+            )
     else:
         step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
         eval_fn = jax.jit(make_eval_step(model))

@@ -110,9 +110,9 @@ def main(argv=None):
 
     lstm_backend = args.lstm_backend
     if lstm_backend == "auto":
-        n_dev = args.data_parallel or len(jax.devices())
-        single_tpu = n_dev == 1 and jax.devices()[0].platform != "cpu"
-        lstm_backend = "pallas" if single_tpu else "scan"
+        # fused kernels on any TPU topology (multi-device training runs the
+        # explicit-SPMD shard_map step); scan on CPU.
+        lstm_backend = "pallas" if jax.devices()[0].platform != "cpu" else "scan"
 
     audio_cfg = AudioConfig(n_mels=args.n_mels, chunk_length=args.chunk_length)
     model_cfg = ModelConfig(

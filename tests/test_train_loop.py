@@ -96,3 +96,42 @@ def test_train_cnn_cli_smoke(maestro_root, tmp_path):
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "Training complete" in proc.stdout
     assert (run_dir / "checkpoints" / "model_final").is_dir()
+
+
+def test_train_model_shardmap_path(maestro_root, tmp_path):
+    """Exercise the shard_map train/eval step builders directly (the CLI
+    routes mesh + pallas-backend runs through them; on CPU we validate the
+    shard_map plumbing with the scan backend)."""
+    import jax
+    import optax
+
+    from music_transcription_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from music_transcription_tpu.parallel.train_step import (
+        init_train_state, make_eval_step_shardmap, make_train_step_shardmap,
+    )
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+
+    import jax.numpy as jnp
+
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+                       dropout=0.0, compute_dtype="float32")
+    model = TranscriptionModel(mcfg)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh(4)
+    state = replicate(
+        init_train_state(model, tx, jax.random.key(0), model.example_input(batch=1, t=12)),
+        mesh,
+    )
+    rng = np.random.default_rng(0)
+    batch = tuple(
+        shard_batch(a, mesh) for a in (
+            rng.standard_normal((4, 1, 32, 12)).astype(np.float32),
+            (rng.random((4, 88, 12)) > 0.9).astype(np.float32),
+            np.full((4,), 12, np.int32),
+        )
+    )
+    step = make_train_step_shardmap(model, tx, mesh)
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    ev = make_eval_step_shardmap(model, mesh)
+    assert np.isfinite(float(ev(state, batch)))
