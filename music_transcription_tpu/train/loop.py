@@ -197,8 +197,14 @@ def train_model(
             else:
                 f.write(f"{section} = {values}\n")
 
-    def save(name, st):
+    def save(name, st, inference_only: bool = False):
+        # model_best is an inference artifact: params + batch_stats + step
+        # only (skipping opt_state cuts the device->host transfer by ~2/3 —
+        # it can dominate epoch time on a slow host link). Periodic/final
+        # checkpoints keep the full state for exact resume.
         path = os.path.join(ckpt_dir, name)
+        if inference_only:
+            st = {k: st[k] for k in ("params", "batch_stats", "step") if k in st}
         host_state = jax.tree.map(np.asarray, st)
         ckpt_lib.save_checkpoint(path, host_state)
         with open(os.path.join(path, "config.json"), "w") as f:
@@ -258,7 +264,7 @@ def train_model(
 
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
-            save("model_best", state)
+            save("model_best", state, inference_only=True)
             if verbose:
                 print(f"Saved new best model (val_loss={val_loss:.6f})")
         if train_cfg.save_every and epoch % train_cfg.save_every == 0:
