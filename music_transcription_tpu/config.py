@@ -209,7 +209,8 @@ def validate_compatibility(
             if have_chunk is not None and have_chunk != audio.chunk_length:
                 warnings.append(
                     f"Cache chunk_length={have_chunk}s differs from requested "
-                    f"{audio.chunk_length}s; using cache value."
+                    f"{audio.chunk_length}s; the cache will be bypassed and "
+                    f"chunks loaded from raw audio (slow)."
                 )
     return warnings
 

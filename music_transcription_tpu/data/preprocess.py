@@ -5,10 +5,11 @@ paths:
 
   * **device path** (default with an accelerator): host threads decode audio
     windows + piano rolls, the log-mel runs on device in fixed-shape batches
-    (ops/mel.log_mel_chunks). Tail chunks are zero-padded to chunk_samples
-    and the mel trimmed back to 1 + n//hop frames — exactly equal to the
-    unpadded computation because center-padding sees the same zeros, so
-    cached features are bit-identical to the host path (tested).
+    (ops/mel.log_mel_chunks). Tail chunks are zero-padded to chunk_samples,
+    the mel trimmed back to 1 + n//hop frames (equal to the unpadded
+    computation: center-padding sees the same zeros) and the per-chunk
+    top_db floor applied on host over exactly the retained frames — so
+    cached features match the host path (tested, incl. tail transients).
   * **host path** (``num_workers > 1`` or no accelerator): a multiprocessing
     pool mirroring the reference's fan-out; each worker owns its dataset
     instance and writes disjoint chunk files (skip-if-exists, atomic rename).
@@ -118,12 +119,12 @@ def preprocess_split(
         "tokenize": bool(tokenize),
         "chunks": dataset.chunks,
     }
-    C.save_metadata(cache_dir, split, meta)
 
     todo = [i for i in range(n) if force or not os.path.exists(C.chunk_path(split_dir, i))]
     skipped = n - len(todo)
     stats = {"total": n, "processed": 0, "skipped": skipped, "failed": 0}
     if not todo:
+        C.save_metadata(cache_dir, split, meta)
         if verbose:
             print(f"[{split}] all {n} chunks already cached")
         return stats
@@ -157,6 +158,15 @@ def preprocess_split(
             stats["processed" if ok and not was_skipped else
                   "skipped" if ok else "failed"] += 1
 
+    # Metadata is written only once every chunk was attempted and none
+    # failed — an interrupted or partially-failed run must NOT leave a cache
+    # that claims completeness (HybridMaestroDataset trusts the metadata and
+    # a stale one turns into FileNotFoundError mid-training).
+    if stats["failed"] == 0:
+        C.save_metadata(cache_dir, split, meta)
+    elif verbose:
+        print(f"[{split}] {stats['failed']} chunks failed; metadata NOT "
+              f"written (re-run to retry the failures)")
     if verbose:
         print(f"[{split}] processed={stats['processed']} skipped={stats['skipped']} "
               f"failed={stats['failed']} (of {n})")
@@ -182,14 +192,20 @@ def _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
 
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         window = 2 * device_batch
-        futures = [pool.submit(decode, i) for i in todo[:window]]
+        futures = [(i, pool.submit(decode, i)) for i in todo[:window]]
         next_idx = len(futures)
         batch: list = []
         while futures:
-            item = futures.pop(0).result()
+            idx, fut = futures.pop(0)
             if next_idx < len(todo):
-                futures.append(pool.submit(decode, todo[next_idx]))
+                futures.append((todo[next_idx], pool.submit(decode, todo[next_idx])))
                 next_idx += 1
+            try:
+                item = fut.result()
+            except Exception as e:  # per-chunk isolation, like the host path
+                print(f"\nError processing chunk {idx}: {e}")
+                stats["failed"] += 1
+                continue
             batch.append(item)
             if len(batch) == device_batch or not futures:
                 _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
@@ -203,10 +219,16 @@ def _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
     for bi, (_, wave, _) in enumerate(batch):
         t = min(len(wave), chunk_samples)
         waves[bi, :t] = wave[:t]
-    mels = np.asarray(log_mel_chunks(jnp.asarray(waves), audio_cfg))  # (B, M, 938)
+    # Floor deferred to host: for tail chunks the per-chunk top_db max must
+    # range over only the RETAINED frames — padded boundary frames can see a
+    # final transient and shift the clamp floor vs the unpadded host path.
+    mels = np.asarray(
+        log_mel_chunks(jnp.asarray(waves), audio_cfg, apply_floor=False)
+    )  # (B, M, 938) unclamped dB
     for bi, (idx, wave, roll) in enumerate(batch):
         t_frames = num_frames(min(len(wave), chunk_samples), audio_cfg.hop_length)
         mel = mels[bi, :, :t_frames]
+        mel = np.maximum(mel, mel.max() - audio_cfg.top_db)
         min_len = min(mel.shape[1], roll.shape[1])
         C.save_chunk(split_dir, idx, {"mel": mel[:, :min_len], "roll": roll[:, :min_len]})
         stats["processed"] += 1

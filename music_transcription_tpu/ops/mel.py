@@ -222,13 +222,16 @@ def _frame_signal(padded: jnp.ndarray, n_fft: int, hop: int, t: int) -> jnp.ndar
     return padded[..., idx]
 
 
-def log_mel_batch(y: jnp.ndarray, cfg: AudioConfig, *, use_fft: bool = False) -> jnp.ndarray:
+def log_mel_batch(y: jnp.ndarray, cfg: AudioConfig, *, use_fft: bool = False,
+                  apply_floor: bool = True) -> jnp.ndarray:
     """(B, n_samples) audio -> (B, n_mels, T) float32 log-mel.
 
     Jittable for any static n_samples; the top_db floor uses the per-sample
     max (matching the reference's per-chunk power_to_db call). The spectrum
     is computed as MXU matmuls by default (``use_fft=True`` switches back to
-    jnp.fft.rfft for cross-checking).
+    jnp.fft.rfft for cross-checking). ``apply_floor=False`` returns the
+    unclamped dB values so a caller that trims frames afterwards can apply
+    the floor over exactly the retained range (preprocess tail chunks).
     """
     win, fb_t = _frontend_constants(cfg)
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -242,8 +245,9 @@ def log_mel_batch(y: jnp.ndarray, cfg: AudioConfig, *, use_fft: bool = False) ->
         "btf,fm->btm", spec, fb_t, preferred_element_type=jnp.float32
     )  # (B, T, n_mels)
     log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
-    floor = jnp.max(log_spec, axis=(-2, -1), keepdims=True) - cfg.top_db
-    log_spec = jnp.maximum(log_spec, floor)
+    if apply_floor:
+        floor = jnp.max(log_spec, axis=(-2, -1), keepdims=True) - cfg.top_db
+        log_spec = jnp.maximum(log_spec, floor)
     return jnp.swapaxes(log_spec, -1, -2)  # (B, n_mels, T)
 
 
@@ -252,12 +256,13 @@ def log_mel(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     return log_mel_batch(y[None], cfg)[0]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def log_mel_chunks(chunks: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("cfg", "apply_floor"))
+def log_mel_chunks(chunks: jnp.ndarray, cfg: AudioConfig,
+                   apply_floor: bool = True) -> jnp.ndarray:
     """Jitted batched frontend over fixed-length chunks: (num_chunks,
     chunk_samples) -> (num_chunks, n_mels, mel_frames_per_chunk).
 
     This is the TPU replacement for the reference's serial per-chunk loop
     (reference main.py:258-266): all chunks of a recording run as one batch.
     """
-    return log_mel_batch(chunks, cfg)
+    return log_mel_batch(chunks, cfg, apply_floor=apply_floor)

@@ -142,6 +142,8 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
     def local_step(state, batch, dropout_rng):
         mel, roll, lengths = batch
         rng = jax.random.fold_in(dropout_rng, state["step"])
+        # distinct dropout masks per shard (the jit path draws one global mask)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         mh = multi_head if multi_head is not None else (
             model.config.model_type == "cnn_rnn_large" and model.config.use_onset_offset_heads
         )
@@ -154,8 +156,16 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
             return model.loss(out, roll, lengths), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
+        # Denominator-weighted reduction: the masked loss is a per-shard
+        # mean over valid frames, so the exact global loss/grad is
+        # sum_shards(local * denom) / sum_shards(denom) — a plain pmean
+        # would up-weight shards holding short tail chunks. (denom differs
+        # from mask.sum()*88 only by the constant 88, which cancels.)
+        t = roll.shape[-1]
+        denom = jnp.maximum(jnp.sum(jnp.clip(lengths, 0, t)).astype(jnp.float32), 1.0)
+        denom_sum = jax.lax.pmean(denom, axis)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g * denom, axis) / denom_sum, grads)
+        loss = jax.lax.pmean(loss * denom, axis) / denom_sum
         new_stats = jax.lax.pmean(new_stats, axis)  # keep running stats replicated
         grad_norm = optax.global_norm(grads)
 
@@ -197,9 +207,8 @@ def make_eval_step_shardmap(model, mesh, *, multi_head: bool | None = None):
 
     sharded = jax.shard_map(
         local_eval, mesh=mesh,
-        in_specs=({k: P() for k in ("params", "batch_stats", "opt_state", "step")},
-                  (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
-        out_specs=P(),
+        in_specs=(P(), (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),  # P() = whole
+        out_specs=P(),                                               # state replicated
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -189,3 +189,43 @@ def test_remi_decode_out_of_range_note_on_ignored():
     roll = tok.decode_to_pianoroll([0, 98, 109, 305, 1], max_t=16)
     assert roll.shape[0] == 88
     assert roll.sum() == 0  # nothing valid was played
+
+
+def test_device_path_tail_transient_floor(maestro_root, tmp_path):
+    """A loud transient at the very end of a tail chunk must not shift the
+    dB floor via padded boundary frames (floor ranges over retained frames
+    only, like the host path)."""
+    import wave as wavmod
+
+    from tests.maestro_fixture import write_wav
+
+    root = tmp_path / "root"
+    import os
+
+    # 3.0 s file: near-silence then a hard final transient; chunk 2.0 s ->
+    # tail chunk of 1.0 s ending exactly at the transient.
+    sr = 16000
+    y = np.full(3 * sr, 1e-4, np.float32)
+    y[-800:] = 0.9  # loud burst in the final 50 ms
+    write_wav(root / "2020" / "p.wav", y, sr)
+    from music_transcription_tpu.data import midi as M
+
+    os.makedirs(root / "2020", exist_ok=True)
+    M.save_midi(M.notes_to_midi([M.Note(pitch=60, start=0.2, end=0.4)]), root / "2020" / "p.midi")
+    import pandas as pd
+
+    pd.DataFrame([dict(canonical_composer="x", canonical_title="p", split="train",
+                       year=2020, midi_filename="2020/p.midi",
+                       audio_filename="2020/p.wav", duration=3.0)]).to_csv(
+        root / "maestro-v3.0.0.csv", index=False)
+
+    host_dir = tmp_path / "h"
+    dev_dir = tmp_path / "d"
+    for d, use_dev in ((host_dir, False), (dev_dir, True)):
+        preprocess_split(root_dir=root, cache_dir=d, split="train", audio_cfg=CFG,
+                         chunk_length=2.0, use_device=use_dev, num_workers=1,
+                         verbose=False)
+    h = C.load_chunk(host_dir / "train", 1)  # the tail chunk
+    v = C.load_chunk(dev_dir / "train", 1)
+    assert h["mel"].shape == v["mel"].shape
+    assert np.abs(h["mel"] - v["mel"]).max() < 6e-2
