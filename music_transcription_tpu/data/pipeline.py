@@ -150,22 +150,45 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list[BaseException] = []
+    stop = threading.Event()
+
+    def blocking_put(item) -> bool:
+        # bounded put that notices consumer abandonment (early break /
+        # exception in the training loop) instead of blocking forever and
+        # pinning device buffers
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not blocking_put(put(batch)):
+                    return
         except BaseException as e:  # pragma: no cover
             err.append(e)
         finally:
-            q.put(sentinel)
+            blocking_put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer finished or abandoned the generator: release the producer
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

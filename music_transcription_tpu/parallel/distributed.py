@@ -6,13 +6,12 @@ XLA collectives over ICI. For multi-host slices (v5e pods), JAX requires
 that from the standard environment (or TPU metadata auto-detection) and
 provides the per-process data sharding the input pipeline needs.
 
-Usage in CLIs: ``maybe_initialize_distributed()`` early, build the mesh over
-``jax.devices()`` (global), and wrap datasets with ``ProcessShard`` so each
-host reads only its slice. The global batch is assembled by jit from the
-per-host shards (jax.make_array_from_process_local_data in device_put path).
-
-Untestable on this single-host environment beyond process_count == 1;
-the code paths degrade to no-ops there.
+These are the building blocks; the CLIs do not wire them yet (single-host
+multi-chip covers this environment). Multi-host training additionally needs
+the input feed to assemble global arrays from per-host shards
+(``jax.make_array_from_process_local_data``) — tracked in ROADMAP.md.
+Untestable on this single-host environment beyond process_count == 1; the
+code paths degrade to no-ops there.
 """
 
 from __future__ import annotations
@@ -36,10 +35,17 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if coord and nproc:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            # A default of 0 would make every host claim process 0.
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES are set but "
+                "JAX_PROCESS_ID is not; set a distinct id per host."
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(nproc),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            process_id=int(pid),
         )
         _initialized = True
     elif os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0:
@@ -57,9 +63,10 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
 class ProcessShard:
     """View of an indexable dataset holding only this process's slice.
 
-    Round-robin assignment (i -> global index i * P + p) keeps shards
-    balanced for any dataset length; with shuffle seeded identically across
-    hosts, per-epoch global coverage matches single-host semantics."""
+    Round-robin assignment (i -> global index i * P + p). Every shard
+    reports the SAME length (ceil(total / P), wrapping the last indices):
+    unequal per-host lengths would make hosts issue different numbers of
+    collective-bearing steps and deadlock the pod."""
 
     def __init__(self, dataset, process_index: int | None = None, process_count: int | None = None):
         self.dataset = dataset
@@ -67,8 +74,7 @@ class ProcessShard:
         self.n = jax.process_count() if process_count is None else process_count
 
     def __len__(self) -> int:
-        total = len(self.dataset)
-        return (total - self.p + self.n - 1) // self.n
+        return -(-len(self.dataset) // self.n)
 
     def __getitem__(self, i: int):
-        return self.dataset[i * self.n + self.p]
+        return self.dataset[(i * self.n + self.p) % len(self.dataset)]

@@ -228,8 +228,33 @@ def test_process_shard_partitions_everything():
 
     data = list(range(10))
     shards = [ProcessShard(data, process_index=p, process_count=3) for p in range(3)]
+    # equal lengths on every host (collective alignment); last indices wrap
+    assert [len(s) for s in shards] == [4, 4, 4]
     seen = []
     for s in shards:
         seen.extend(s[i] for i in range(len(s)))
-    assert sorted(seen) == data
-    assert [len(s) for s in shards] == [4, 3, 3]
+    assert set(seen) == set(data)  # full coverage (with 2 wrapped repeats)
+    assert len(seen) == 12
+
+
+def test_device_prefetch_abandonment_releases_producer():
+    """Breaking out of device_prefetch early must not leave the producer
+    blocked on a full queue."""
+    import threading
+    import time
+
+    from music_transcription_tpu.data.pipeline import device_prefetch
+
+    def batches():
+        for i in range(50):
+            yield np.full((4,), i, np.float32)
+
+    before = threading.active_count()
+    gen = device_prefetch(batches(), mesh=None, depth=1)
+    first = next(gen)
+    assert float(np.asarray(first)[0]) == 0.0
+    gen.close()  # abandon
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
