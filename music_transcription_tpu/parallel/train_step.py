@@ -41,6 +41,55 @@ def init_train_state(model, tx, rng, sample_input) -> dict:
     }
 
 
+def _resolve_multi_head(model, multi_head: bool | None) -> bool:
+    if multi_head is None:
+        return model.config.model_type == "cnn_rnn_large" and model.config.use_onset_offset_heads
+    return multi_head
+
+
+def _loss_and_grads(model, state, batch, rng, multi_head):
+    """Forward + multi-head loss + grads (shared by jit and shard_map paths)."""
+    mel, roll, lengths = batch
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state["batch_stats"]}
+        out, new_stats = model.apply(
+            variables, mel, train=True, return_all_heads=multi_head, rngs={"dropout": rng}
+        )
+        return model.loss(out, roll, lengths), new_stats
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+    return loss, new_stats, grads
+
+
+def _guarded_update(tx, state, loss, grads, new_stats):
+    """NaN-guarded optimizer update (shared by jit and shard_map paths).
+
+    Branchless NaN/Inf guard (reference train_transcriber.py:123-142):
+    non-finite loss or grads -> zero update, keep old state, flag skipped.
+    """
+    grad_norm = optax.global_norm(grads)
+    finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    safe = lambda g: jnp.where(finite, g, jnp.zeros_like(g))
+    grads = jax.tree.map(safe, grads)
+    updates, new_opt_state = tx.update(grads, state["opt_state"], state["params"])
+    new_params = optax.apply_updates(state["params"], updates)
+
+    keep_new = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+    new_state = {
+        "params": keep_new(new_params, state["params"]),
+        "batch_stats": keep_new(new_stats, state["batch_stats"]),
+        "opt_state": keep_new(new_opt_state, state["opt_state"]),
+        "step": state["step"] + 1,
+    }
+    metrics = {
+        "loss": loss,
+        "grad_norm": grad_norm,
+        "skipped": 1.0 - finite.astype(jnp.float32),
+    }
+    return new_state, metrics
+
+
 def make_train_step(model, tx, *, multi_head: bool | None = None):
     """Build the pure train-step function (to be jitted by the caller).
 
@@ -48,53 +97,12 @@ def make_train_step(model, tx, *, multi_head: bool | None = None):
     Returns (new_state, metrics) where metrics carries loss / grad_norm /
     skipped (1.0 when the NaN guard suppressed the update).
     """
-    if multi_head is None:
-        multi_head = (
-            model.config.model_type == "cnn_rnn_large" and model.config.use_onset_offset_heads
-        )
+    multi_head = _resolve_multi_head(model, multi_head)
 
     def train_step(state, batch, dropout_rng):
-        mel, roll, lengths = batch
         rng = jax.random.fold_in(dropout_rng, state["step"])
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state["batch_stats"]}
-            out, new_stats = model.apply(
-                variables,
-                mel,
-                train=True,
-                return_all_heads=multi_head,
-                rngs={"dropout": rng},
-            )
-            loss = model.loss(out, roll, lengths)
-            return loss, new_stats
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
-        grad_norm = optax.global_norm(grads)
-
-        # Branchless NaN/Inf guard (reference train_transcriber.py:123-142):
-        # non-finite loss or grads -> zero update, keep old state.
-        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
-        safe = lambda g: jnp.where(finite, g, jnp.zeros_like(g))
-        grads = jax.tree.map(safe, grads)
-        updates, new_opt_state = tx.update(grads, state["opt_state"], state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-
-        keep_new = lambda new, old: jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new, old
-        )
-        new_state = {
-            "params": keep_new(new_params, state["params"]),
-            "batch_stats": keep_new(new_stats, state["batch_stats"]),
-            "opt_state": keep_new(new_opt_state, state["opt_state"]),
-            "step": state["step"] + 1,
-        }
-        metrics = {
-            "loss": loss,
-            "grad_norm": grad_norm,
-            "skipped": 1.0 - finite.astype(jnp.float32),
-        }
-        return new_state, metrics
+        loss, new_stats, grads = _loss_and_grads(model, state, batch, rng, multi_head)
+        return _guarded_update(tx, state, loss, grads, new_stats)
 
     return train_step
 
@@ -139,23 +147,15 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
         model = copy.copy(model)
         model.module = model.module.clone(bn_axis_name=axis)
 
+    mh = _resolve_multi_head(model, multi_head)
+
     def local_step(state, batch, dropout_rng):
-        mel, roll, lengths = batch
+        _, roll, lengths = batch
         rng = jax.random.fold_in(dropout_rng, state["step"])
         # distinct dropout masks per shard (the jit path draws one global mask)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        mh = multi_head if multi_head is not None else (
-            model.config.model_type == "cnn_rnn_large" and model.config.use_onset_offset_heads
-        )
+        loss, new_stats, grads = _loss_and_grads(model, state, batch, rng, mh)
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state["batch_stats"]}
-            out, new_stats = model.apply(
-                variables, mel, train=True, return_all_heads=mh, rngs={"dropout": rng}
-            )
-            return model.loss(out, roll, lengths), new_stats
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
         # Denominator-weighted reduction: the masked loss is a per-shard
         # mean over valid frames, so the exact global loss/grad is
         # sum_shards(local * denom) / sum_shards(denom) — a plain pmean
@@ -167,23 +167,7 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g * denom, axis) / denom_sum, grads)
         loss = jax.lax.pmean(loss * denom, axis) / denom_sum
         new_stats = jax.lax.pmean(new_stats, axis)  # keep running stats replicated
-        grad_norm = optax.global_norm(grads)
-
-        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
-        safe = lambda g: jnp.where(finite, g, jnp.zeros_like(g))
-        grads = jax.tree.map(safe, grads)
-        updates, new_opt_state = tx.update(grads, state["opt_state"], state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-        keep_new = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
-        new_state = {
-            "params": keep_new(new_params, state["params"]),
-            "batch_stats": keep_new(new_stats, state["batch_stats"]),
-            "opt_state": keep_new(new_opt_state, state["opt_state"]),
-            "step": state["step"] + 1,
-        }
-        metrics = {"loss": loss, "grad_norm": grad_norm,
-                   "skipped": 1.0 - finite.astype(jnp.float32)}
-        return new_state, metrics
+        return _guarded_update(tx, state, loss, grads, new_stats)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
