@@ -137,14 +137,26 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
     With a mesh, arrays are sharded on axis 0 over the data axis; otherwise
     committed to the default device. Bounded queue keeps ``depth`` batches
     in flight (the pin_memory/prefetch_factor analogue).
+
+    Multi-host (jax.process_count() > 1): the iterator yields this process's
+    LOCAL batch (global_batch / process_count rows, e.g. from a ProcessShard
+    dataset) and leaves are assembled into global arrays with
+    ``jax.make_array_from_process_local_data`` — each host feeds only its own
+    addressable shards; no data crosses DCN.
     """
     import jax
 
     from music_transcription_tpu.parallel.mesh import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else jax.devices()[0]
+    multihost = mesh is not None and jax.process_count() > 1
 
     def put(batch):
+        if multihost:
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+                batch,
+            )
         return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
 
     q: queue.Queue = queue.Queue(maxsize=depth)

@@ -94,8 +94,11 @@ def mean_f1(cached: CachedPredictions, threshold: float) -> float:
     return float(arr.mean()) if arr.size else 0.0
 
 
-def grid_mean_f1(cached: CachedPredictions, thresholds: np.ndarray) -> np.ndarray:
-    """Mean F1 for a whole grid of thresholds in one vectorized pass."""
+def grid_f1_sums(cached: CachedPredictions, thresholds: np.ndarray) -> tuple[np.ndarray, int]:
+    """Per-threshold SUM of per-sample F1 plus the sample count.
+
+    Separated from the mean so multi-host callers can all-gather
+    (sums, count) pairs and form the exact global mean."""
     thresholds = np.asarray(thresholds, np.float32)
     k = len(thresholds)
     sums = np.zeros(k, np.float64)
@@ -109,7 +112,13 @@ def grid_mean_f1(cached: CachedPredictions, thresholds: np.ndarray) -> np.ndarra
         denom = 2 * tp + fp + fn
         f1 = np.where(denom > 0, 2.0 * tp / np.maximum(denom, 1), 0.0)
         sums += f1
-    return sums / max(1, len(cached.probs))
+    return sums, len(cached.probs)
+
+
+def grid_mean_f1(cached: CachedPredictions, thresholds: np.ndarray) -> np.ndarray:
+    """Mean F1 for a whole grid of thresholds in one vectorized pass."""
+    sums, count = grid_f1_sums(cached, thresholds)
+    return sums / max(1, count)
 
 
 def tune_threshold(
@@ -120,14 +129,20 @@ def tune_threshold(
     step: float = 0.1,
     min_step: float = 0.01,
     verbose: bool = True,
+    grid_fn=None,
 ) -> tuple[float, float]:
     """Coarse-to-fine threshold search (reference scripts/evaluate.py:556-618),
-    evaluated from cached probabilities (no model re-forward)."""
+    evaluated from cached probabilities (no model re-forward).
+
+    ``grid_fn(cached, thresholds) -> mean-F1 array`` overrides the local
+    grid evaluation — multi-host eval injects a globally reduced one."""
+    if grid_fn is None:
+        grid_fn = grid_mean_f1
     tune_min, tune_max = tune_range
     best_threshold, best_f1 = 0.5, -1.0
     for round_num in range(1, rounds + 1):
         thresholds = np.arange(tune_min, tune_max + step / 2, step)
-        f1s = grid_mean_f1(cached, thresholds)
+        f1s = grid_fn(cached, thresholds)
         if verbose:
             print(
                 f"=== Round {round_num}/{rounds} | range=[{tune_min:.4f}, "

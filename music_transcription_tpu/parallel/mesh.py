@@ -63,6 +63,14 @@ def shard_batch(x, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Multi-host: every process must hold identical host values (true for
+    seed-deterministic init and checkpoint restores); each process feeds its
+    own addressable replicas via make_array_from_process_local_data."""
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)), tree
+        )
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)

@@ -140,6 +140,11 @@ def train_model(
     """Full training driver. Returns (model, state, history)."""
     from music_transcription_tpu.models.transcription import TranscriptionModel
 
+    # Multi-host: all processes run the compute (collectives require it);
+    # only process 0 writes artifacts and prints.
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main
+
     os.makedirs(run_dir, exist_ok=True)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -185,17 +190,18 @@ def train_model(
         "devices": [str(d) for d in (mesh.devices.flatten() if mesh else jax.devices()[:1])],
         "start_epoch": start_epoch,
     }
-    with open(os.path.join(run_dir, "parameters.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    # parameters.txt: the reference's flat key=value dump
-    # (scripts/train_cnn.py:228-255) for drop-in tooling.
-    with open(os.path.join(run_dir, "parameters.txt"), "w") as f:
-        for section, values in manifest.items():
-            if isinstance(values, dict):
-                for k, v in sorted(values.items()):
-                    f.write(f"{section}.{k} = {v}\n")
-            else:
-                f.write(f"{section} = {values}\n")
+    if is_main:
+        with open(os.path.join(run_dir, "parameters.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        # parameters.txt: the reference's flat key=value dump
+        # (scripts/train_cnn.py:228-255) for drop-in tooling.
+        with open(os.path.join(run_dir, "parameters.txt"), "w") as f:
+            for section, values in manifest.items():
+                if isinstance(values, dict):
+                    for k, v in sorted(values.items()):
+                        f.write(f"{section}.{k} = {v}\n")
+                else:
+                    f.write(f"{section} = {values}\n")
 
     def save(name, st, inference_only: bool = False):
         # model_best is an inference artifact: params + batch_stats + step
@@ -203,6 +209,8 @@ def train_model(
         # it can dominate epoch time on a slow host link). Periodic/final
         # checkpoints keep the full state for exact resume.
         path = os.path.join(ckpt_dir, name)
+        if not is_main:  # replicated state: process 0's copy is the state
+            return path
         if inference_only:
             st = {k: st[k] for k in ("params", "batch_stats", "step") if k in st}
         host_state = jax.tree.map(np.asarray, st)
@@ -259,8 +267,9 @@ def train_model(
         )
         if verbose:
             print(line)
-        with open(log_path, "a") as f:
-            f.write(line + "\n")
+        if is_main:
+            with open(log_path, "a") as f:
+                f.write(line + "\n")
 
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
@@ -269,7 +278,9 @@ def train_model(
                 print(f"Saved new best model (val_loss={val_loss:.6f})")
         if train_cfg.save_every and epoch % train_cfg.save_every == 0:
             save(f"model_epoch_{epoch}", state)
-        _plot_curves(run_dir, history["train_loss"], history["val_loss"], history["step_losses"])
+        if is_main:
+            _plot_curves(run_dir, history["train_loss"], history["val_loss"],
+                         history["step_losses"])
 
     save("model_final", state)
     return model, state, history

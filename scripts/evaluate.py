@@ -106,6 +106,16 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from music_transcription_tpu.parallel.distributed import (
+        ProcessShard,
+        maybe_initialize_distributed,
+    )
+
+    # Multi-host: each host forwards only its sample shard (no collectives in
+    # the forward); metrics are reduced globally below. No-op single-host.
+    multihost = maybe_initialize_distributed()
+    is_main = jax.process_index() == 0
+
     from music_transcription_tpu import eval as E
     from music_transcription_tpu.config import (
         AudioConfig, CompatibilityError, ModelConfig, validate_compatibility,
@@ -179,25 +189,53 @@ def main(argv=None):
                 return self.ds[i]
         dataset = _Subset(dataset, n_eval)
 
+    grid_fn = None
+    if multihost:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        n_procs = jax.process_count()
+        dataset = ProcessShard(dataset, exact=True)
+
+        def _global_per_sample(local):
+            """Gather per-sample arrays from all hosts back into global
+            round-robin order (shard item i on host p = global i*P+p)."""
+            m = -(-n_eval // n_procs)
+            padded = np.full(m, np.nan, np.float32)
+            padded[: len(local)] = local
+            gathered = np.asarray(multihost_utils.process_allgather(padded))  # (P, M)
+            return gathered.T.reshape(-1)[:n_eval].astype(np.float64)
+
+        def grid_fn(cached, thresholds):
+            sums, count = E.grid_f1_sums(cached, thresholds)
+            packed = np.concatenate([sums, [float(count)]]).astype(np.float32)
+            g = np.asarray(multihost_utils.process_allgather(packed))  # (P, K+1)
+            return g[:, :-1].sum(axis=0) / max(1.0, float(g[:, -1].sum()))
+
     loader = Loader(dataset, args.batch_size, num_workers=4,
                     pad_to=audio_cfg.mel_frames_per_chunk)
     cached = E.predict_probs(loaded.model, loaded.variables, loader,
-                             verbose=not args.headless,
+                             verbose=not args.headless and is_main,
                              pad_batch_to=args.batch_size)
 
     if args.tune_threshold:
         best_t, best_f1 = E.tune_threshold(
             cached, rounds=args.tune_rounds, tune_range=tuple(args.tune_range),
-            step=args.tune_step, min_step=args.tune_min_step, verbose=not args.headless,
+            step=args.tune_step, min_step=args.tune_min_step,
+            verbose=not args.headless and is_main, grid_fn=grid_fn,
         )
         if args.headless:
-            print(f"EVAL_BEST_THRESHOLD={best_t:.6f}")
-            print(f"EVAL_MEAN_F1={best_f1:.6f}")
+            if is_main:
+                print(f"EVAL_BEST_THRESHOLD={best_t:.6f}")
+                print(f"EVAL_MEAN_F1={best_f1:.6f}")
             return 0
-        print(f"Best threshold: {best_t:.6f}\nBest mean F1:   {best_f1:.6f}")
+        if is_main:
+            print(f"Best threshold: {best_t:.6f}\nBest mean F1:   {best_f1:.6f}")
         args.threshold = best_t
 
     f1_scores = E.per_sample_f1(cached, args.threshold)
+    if multihost:
+        f1_scores = _global_per_sample(f1_scores)
     mean = float(f1_scores.mean()) if f1_scores.size else 0.0
 
     onset_scores = None
@@ -206,12 +244,24 @@ def main(argv=None):
             cached, args.threshold, fs=audio_cfg.frame_rate,
             tolerance_s=args.onset_tolerance,
         )
+        if multihost:
+            onset_scores = _global_per_sample(onset_scores)
 
     if args.headless:
-        print(f"EVAL_MEAN_F1={mean:.6f}")
-        if onset_scores is not None:
-            print(f"EVAL_ONSET_F1={float(onset_scores.mean()):.6f}")
+        if is_main:
+            print(f"EVAL_MEAN_F1={mean:.6f}")
+            if onset_scores is not None:
+                print(f"EVAL_ONSET_F1={float(onset_scores.mean()):.6f}")
         return 0
+
+    confusion = E.global_confusion(cached, args.threshold)
+    if multihost:
+        # all processes participate in the gather; only process 0 writes
+        confusion = np.asarray(
+            multihost_utils.process_allgather(confusion.astype(np.float64))
+        ).sum(axis=0)
+        if not is_main:
+            return 0
 
     run_dir = os.path.join(args.out_dir, datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
     os.makedirs(run_dir, exist_ok=True)
@@ -223,11 +273,10 @@ def main(argv=None):
     E.write_summary(
         os.path.join(run_dir, "eval_summary.txt"), f1_scores, args.threshold, extra=extra,
     )
-    E.plot_confusion(
-        os.path.join(run_dir, "confusion_matrix.png"),
-        E.global_confusion(cached, args.threshold),
-    )
+    E.plot_confusion(os.path.join(run_dir, "confusion_matrix.png"), confusion)
     if not args.no_midi:
+        # multihost: process 0 writes MIDIs for its own shard only (probs of
+        # other hosts' samples never cross DCN)
         E.write_sample_midis(
             cached, args.threshold, os.path.join(run_dir, "midis"),
             fs=audio_cfg.frame_rate, limit=args.midi_limit,

@@ -100,6 +100,16 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from music_transcription_tpu.parallel.distributed import (
+        ProcessShard,
+        local_batch_size,
+        maybe_initialize_distributed,
+    )
+
+    # Multi-host (pod) support: must run before first device use. No-op on
+    # single-host; on a pod each host then loads only its ProcessShard slice.
+    multihost = maybe_initialize_distributed()
+
     from music_transcription_tpu.config import (
         AudioConfig, CompatibilityError, ModelConfig, TrainConfig, validate_compatibility,
     )
@@ -165,13 +175,19 @@ def main(argv=None):
     print(f"Train set size: {len(train_set)} chunks")
     print(f"Validation set size: {len(val_set)} chunks")
 
+    loader_batch = args.batch_size  # global batch; each host loads its share
+    if multihost:
+        train_set = ProcessShard(train_set)
+        val_set = ProcessShard(val_set)
+        loader_batch = local_batch_size(args.batch_size)
+
     pad_to = audio_cfg.mel_frames_per_chunk  # fixed-shape batches: one compile
     train_loader = Loader(
-        train_set, args.batch_size, shuffle=True, seed=args.seed,
+        train_set, loader_batch, shuffle=True, seed=args.seed,
         num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
     )
     val_loader = Loader(
-        val_set, args.batch_size, num_workers=max(1, args.num_workers // 2),
+        val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
         drop_last=True, pad_to=pad_to,
     )
     if len(val_loader) == 0:
