@@ -109,6 +109,24 @@ def main():
         file=sys.stderr,
     )
 
+    # Unamortized single-dispatch latency (one call, fenced): includes the
+    # per-call RPC/dispatch overhead the chained number deliberately excludes
+    # — reported so the headline can't be mistaken for request latency.
+    single = []
+    for i in range(iters):
+        c = chunks + jnp.float32((i + 1) * 1e-7)
+        t0 = time.perf_counter()
+        _, fence = pipeline(variables, c)
+        _ = int(fence)
+        single.append(time.perf_counter() - t0)
+    single.sort()
+    single_ms = single[len(single) // 2] * 1000.0
+    print(
+        f"[bench] single dispatch (batch={batch}): {single_ms:.2f}ms "
+        f"-> {single_ms/batch:.2f} ms/chunk unamortized",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -116,6 +134,9 @@ def main():
                 "value": round(ms_per_chunk, 3),
                 "unit": "ms/chunk",
                 "vs_baseline": round(BASELINE_MS / ms_per_chunk, 3),
+                "single_dispatch_ms": round(single_ms, 3),
+                "single_dispatch_ms_per_chunk": round(single_ms / batch, 3),
+                "batch": batch,
             }
         )
     )

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import lru_cache
 
 import numpy as np
 
@@ -124,9 +123,15 @@ class MaestroDataset:
         return len(self.chunks) if self.chunk_length is not None else len(self.df)
 
     # --------------------------------------------------------------- access
-    @lru_cache(maxsize=32)
     def _midi(self, midi_path: str) -> midi_io.MidiFile:
-        return midi_io.load_midi(midi_path)
+        # Per-instance LRU (an lru_cache on the bound method would key on
+        # self and pin dataset instances in a process-global cache).
+        cache = self.__dict__.setdefault("_midi_cache", {})
+        if midi_path not in cache:
+            if len(cache) >= 32:
+                cache.pop(next(iter(cache)))
+            cache[midi_path] = midi_io.load_midi(midi_path)
+        return cache[midi_path]
 
     def _roll_for_range(self, midi_path: str, start_time: float, end_time: float) -> np.ndarray:
         fs = self.cfg.frame_rate

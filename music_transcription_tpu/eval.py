@@ -32,7 +32,7 @@ from music_transcription_tpu.config import MIN_MIDI
 class CachedPredictions:
     """Host-side cache of one pass over an eval set."""
 
-    probs: list[np.ndarray]  # each (88, T_i) float16
+    probs: list[np.ndarray]  # each (88, T_i), cache_dtype (default float16)
     targets: list[np.ndarray]  # each (88, T_i) bool
     lengths: list[int]
 
@@ -44,19 +44,25 @@ def _probs_step(module, variables, mel):
 
 
 def predict_probs(model, variables, loader, *, verbose: bool = False,
-                  pad_batch_to: int | None = None) -> CachedPredictions:
+                  pad_batch_to: int | None = None,
+                  cache_dtype=np.float16) -> CachedPredictions:
     """One batched forward pass over the loader; probabilities cached on host.
 
     ``pad_batch_to`` zero-pads a smaller final batch up to a fixed size so
     the jitted forward compiles exactly once (minutes per shape on a
-    remote-compile backend); padded rows are discarded."""
+    remote-compile backend); padded rows are discarded.
+
+    ``cache_dtype`` is the host cache precision for the probabilities.
+    float16 (default) quantizes thresholds to ~5e-4 near 0.5 — far below the
+    0.01 minimum tuning step — at half the host memory of a full test-split
+    sweep; pass np.float32 for exact threshold comparisons."""
     probs_l, targets_l, lengths_l = [], [], []
     for bi, (mel, roll, lengths) in enumerate(loader):
         n_real = mel.shape[0]
         if pad_batch_to and n_real < pad_batch_to:
             pad = pad_batch_to - n_real
             mel = np.pad(np.asarray(mel), ((0, pad),) + ((0, 0),) * (mel.ndim - 1))
-        p = np.asarray(_probs_step(model.module, variables, jnp.asarray(mel)), np.float16)
+        p = np.asarray(_probs_step(model.module, variables, jnp.asarray(mel)), cache_dtype)
         p = p[:n_real]
         for i in range(p.shape[0]):
             t = int(lengths[i])

@@ -31,6 +31,14 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--root_dir", type=str, default="maestro-v3.0.0")
     p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--data_source", type=str, default="auto",
+                   choices=["auto", "cache", "full"],
+                   help="auto-detect, cached chunks, or full raw files "
+                        "(reference scripts/evaluate.py:833)")
+    p.add_argument("--year", type=str, default=None,
+                   help="year filter (full files only, e.g. 2017)")
+    p.add_argument("--log_file", type=str, default=None,
+                   help="custom log file path (only with --background)")
     p.add_argument("--out_dir", type=str, default="eval_outputs")
     p.add_argument("--no_midi", action="store_true")
     p.add_argument("--midi_limit", type=int, default=50)
@@ -60,15 +68,22 @@ def build_parser():
 
 
 def detect_data_source(args):
-    """cache if a matching metadata pickle exists, else raw
-    (reference scripts/evaluate.py:103-126)."""
+    """--data_source override, else cache if a matching metadata pickle
+    exists, else raw (reference scripts/evaluate.py:103-126)."""
     from music_transcription_tpu.data.cache import metadata_path
 
+    if args.data_source == "full":
+        return "raw", args.root_dir
     if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
         return "cache", args.cache_dir
     for cand in ("cached_dataset_mels320", "cached_dataset"):
         if args.cache_dir is None and os.path.exists(metadata_path(cand, args.split)):
             return "cache", cand
+    if args.data_source == "cache":
+        raise SystemExit(
+            f"Error: --data_source cache but no metadata found for split "
+            f"'{args.split}' in {args.cache_dir or 'cached_dataset[_mels320]'}"
+        )
     return "raw", args.root_dir
 
 
@@ -89,7 +104,7 @@ def main(argv=None):
 
     if args.background:
         os.makedirs(args.out_dir, exist_ok=True)
-        log_path = os.path.join(
+        log_path = args.log_file or os.path.join(
             args.out_dir, f"eval_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}.log"
         )
         argv_bg = [a for a in sys.argv[1:] if a != "--background"]
@@ -156,6 +171,7 @@ def main(argv=None):
             return 0
         dataset = MaestroDataset(
             source_path, split=args.split, chunk_length=audio_cfg.chunk_length,
+            year=args.year,
             audio_cfg=AudioConfig(n_mels=n_mels, chunk_length=audio_cfg.chunk_length),
         )
 

@@ -38,6 +38,9 @@ def build_parser():
     t.add_argument("--save_every", type=int, default=5)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--num_workers", type=int, default=8)
+    t.add_argument("--start_epoch", type=int, default=1,
+                   help="starting epoch number (auto-detected from the "
+                        "--resume filename when left at 1)")
 
     m = p.add_argument_group("model")
     m.add_argument("--model_type", type=str, default="cnn_rnn_large",
@@ -64,6 +67,9 @@ def build_parser():
     e.add_argument("--out_root", type=str, default="outputs")
     e.add_argument("--background", action="store_true",
                    help="re-spawn detached with logs redirected")
+    e.add_argument("--log_file", type=str, default=None,
+                   help="log file path for background mode "
+                        "(auto-generated if not specified)")
     e.add_argument("--profile_steps", type=int, default=0,
                    help="trace the first N train steps with jax.profiler")
     return p
@@ -72,7 +78,7 @@ def build_parser():
 def spawn_background(args, run_dir):
     """Detached self-respawn (reference scripts/train_cnn.py:123-154)."""
     os.makedirs(run_dir, exist_ok=True)
-    log_path = os.path.join(run_dir, "train.log")
+    log_path = args.log_file or os.path.join(run_dir, "train.log")
     argv = [a for a in sys.argv[1:] if a != "--background"]
     argv += ["--run_dir", run_dir]
     with open(log_path, "a") as log:
@@ -193,8 +199,10 @@ def main(argv=None):
     if len(val_loader) == 0:
         val_loader = None
 
-    start_epoch = 1
-    if args.resume:
+    start_epoch = args.start_epoch
+    if args.resume and args.start_epoch == 1:
+        # auto-detect only when the user didn't pass --start_epoch
+        # (reference scripts/train_cnn.py:293-305)
         parsed = epoch_from_checkpoint_name(args.resume)
         if parsed is not None:
             start_epoch = parsed + 1
