@@ -105,7 +105,8 @@ class ModelConfig:
     # "pallas" (fused TPU kernels, single-device; differentiable via a
     # custom-VJP backward-through-time kernel).
     lstm_backend: str = "scan"
-    # Attention backend: "xla" or "pallas" (clamped flash kernel, inference).
+    # Attention backend: "xla", "pallas" (clamped flash kernel, fwd + custom
+    # VJP bwd), or "auto" (flash past the measured T crossover, else xla).
     attention_backend: str = "xla"
 
     def __post_init__(self):

@@ -95,7 +95,16 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float = 0.1
     clip_val: float = 10.0
     dtype: Any = jnp.float32
-    backend: str = "xla"  # "xla" | "pallas" (flash kernel, inference-only)
+    # "xla" | "pallas" (flash kernel, differentiable via custom VJP) |
+    # "auto" (flash once the fp32 score tensor outgrows HBM headroom)
+    backend: str = "xla"
+    # Crossover rule for "auto", measured on v5e (d=192, 8 heads, bf16,
+    # scripts/bench_attention.py): XLA wins while the (B, H, T, T) fp32
+    # scores fit — 938/2048/3072 all favor xla fwd+bwd (3.7/10.0/15.9 ms vs
+    # flash 4.7/12.3/22.0) — and collapses once they don't (T=4096, B=2:
+    # 2.1 GB scores -> 170 ms vs flash 35.9 ms). Threshold sits between the
+    # measured 1.2 GB-fine and 2.1 GB-collapsed points.
+    auto_score_bytes: float = 1.5e9
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -105,10 +114,19 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = qkv.reshape(b, t, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, D)
         scale = head_dim**-0.5
-        if self.backend == "pallas" and not train:
+        backend = self.backend
+        if backend == "auto":
+            score_bytes = 4.0 * b * self.num_heads * t * t  # fp32 softmax
+            backend = "pallas" if score_bytes > self.auto_score_bytes else "xla"
+        if backend == "pallas":
             from music_transcription_tpu.ops.attention_pallas import flash_attention_clamped
 
             out = flash_attention_clamped(q, k, v, scale=scale, clip_val=self.clip_val)
+            # The kernel has no in-scores dropout; under the flash path the
+            # attention dropout moves to the attention OUTPUT (same expected
+            # scale, different correlation structure than the reference's
+            # on-probabilities placement — exact-parity training uses xla).
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
         else:
             attn = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32) * scale
             attn = jnp.clip(attn, -self.clip_val, self.clip_val)
