@@ -253,7 +253,7 @@ def _lstm_recurrence_fwd(xw, wh_stacked):
     return h, (xw_tm, wh_stacked.astype(jnp.float32), h_tm, c_tm, t)
 
 
-def _lstm_recurrence_bwd(residuals, dh, unroll: int = 1):
+def _lstm_recurrence_bwd(residuals, dh, unroll: int = 2):
     # Backward stays at unroll=1: its VMEM working set already holds wh (8 MB
     # at H=512) plus the dW_hh accumulator (8 MB); unrolled input blocks push
     # the double-buffered total past the 16 MB scoped-vmem limit at bs 16.

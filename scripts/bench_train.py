@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     p.add_argument("--data_parallel", type=int, default=None)
+    p.add_argument("--lstm_backend", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"])
     args = p.parse_args(argv)
 
     import jax
@@ -41,10 +43,14 @@ def main(argv=None):
     )
     from music_transcription_tpu.train.optim import make_optimizer
 
+    lstm_backend = args.lstm_backend
+    if lstm_backend == "auto":  # same policy as scripts/train_cnn.py
+        lstm_backend = "pallas" if jax.devices()[0].platform != "cpu" else "scan"
+
     acfg = AudioConfig(n_mels=args.n_mels)
     t = acfg.mel_frames_per_chunk
     mcfg = ModelConfig(model_type="cnn_rnn_large", n_mels=args.n_mels,
-                       compute_dtype="bfloat16")
+                       compute_dtype="bfloat16", lstm_backend=lstm_backend)
     tcfg = TrainConfig(batch_size=args.batch_size)
     model = TranscriptionModel(mcfg)
     tx = make_optimizer(tcfg)

@@ -88,6 +88,48 @@ def cmd_transcribe(args):
     return 0
 
 
+def cmd_sheet(args):
+    """MIDI -> engraved sheet-music PNG via music21 + MuseScore (the
+    reference's notebook extra, transformer_draft.ipynb cell 12). Both tools
+    are external and absent from this image, so the path is guarded: it
+    runs when they are installed and fails with install instructions when
+    not (documented in PARITY.md)."""
+    try:
+        from music21 import converter, environment
+    except ImportError:
+        print("Error: sheet-music rendering needs the optional 'music21' "
+              "package (pip install music21) plus MuseScore "
+              "(apt-get install musescore).")
+        return 1
+
+    if args.musescore:
+        us = environment.UserSettings()
+        us["musescoreDirectPNGPath"] = args.musescore
+        us["musicxmlPath"] = args.musescore
+    else:
+        for cand in ("/usr/bin/mscore", "/usr/bin/musescore3", "/usr/bin/musescore"):
+            if os.path.exists(cand):
+                us = environment.UserSettings()
+                us["musescoreDirectPNGPath"] = cand
+                us["musicxmlPath"] = cand
+                break
+
+    score = converter.parse(args.midi_file)
+    try:
+        png_path = str(score.write("musicxml.png"))
+    except Exception as exc:
+        print(f"Error: MuseScore rendering failed ({exc}). Install MuseScore "
+              f"or pass --musescore /path/to/mscore.")
+        return 1
+    out = args.output or os.path.splitext(args.midi_file)[0] + "_sheet.png"
+    if png_path != out:
+        import shutil
+
+        shutil.copyfile(png_path, out)
+    print(f"Sheet music written to {out}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Visualize mel spectrograms and piano rolls")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -108,6 +150,13 @@ def main(argv=None):
     t.add_argument("-o", "--output", type=str, default=None)
     t.add_argument("-d", "--device", type=str, default=None, choices=["cpu", "tpu"])
 
+    sh = sub.add_parser("sheet", help="render MIDI as engraved sheet music "
+                                      "(requires optional music21 + MuseScore)")
+    sh.add_argument("midi_file", type=str)
+    sh.add_argument("-o", "--output", type=str, default=None)
+    sh.add_argument("--musescore", type=str, default=None,
+                    help="path to the MuseScore binary (autodetected when omitted)")
+
     args = p.parse_args(argv)
     if getattr(args, "device", None) == "cpu":
         import jax
@@ -115,6 +164,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.cmd == "sample":
         return cmd_sample(args)
+    if args.cmd == "sheet":
+        return cmd_sheet(args)
     return cmd_transcribe(args)
 
 
