@@ -124,3 +124,69 @@ def test_two_process_training_matches_single_process():
     expected = _single_process_losses()
     assert len(expected) == len(worker_losses[0]) == 2
     np.testing.assert_allclose(worker_losses[0], expected, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_two_process_evaluate_cli_matches_single_process(tmp_path):
+    """scripts/evaluate.py run as a 2-process pod (exact sample sharding,
+    gathered per-sample F1, all-gathered tuning grids) must print the same
+    EVAL_MEAN_F1 / EVAL_BEST_THRESHOLD as the single-process run."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from music_transcription_tpu.config import AudioConfig, ModelConfig, config_to_dict
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+    from music_transcription_tpu.train.checkpoints import save_checkpoint
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    acfg = AudioConfig(n_mels=32, chunk_length=2.0)
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=16,
+                       num_layers=1, compute_dtype="float32")
+    model = TranscriptionModel(mcfg)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, dict(model.init(jax.random.key(0),
+                                          model.example_input(batch=1, t=16))))
+    json.dump({"model": config_to_dict(mcfg), "audio": config_to_dict(acfg)},
+              open(ckpt / "config.json", "w"))
+
+    base_cmd = [sys.executable, os.path.join(os.path.dirname(HERE), "scripts", "evaluate.py"),
+                "--model", str(ckpt), "--root_dir", str(root), "--split", "train",
+                "--data_source", "full", "--device", "cpu", "--headless",
+                "--batch_size", "2", "--tune_threshold", "--tune_rounds", "2"]
+
+    def parse(out):
+        vals = {}
+        for ln in out.splitlines():
+            if "=" in ln and ln.startswith("EVAL_"):
+                k, v = ln.split("=")
+                vals[k] = float(v)
+        return vals
+
+    env1 = {k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    single = subprocess.run(base_cmd, capture_output=True, text=True,
+                            env=env1, timeout=600)
+    assert single.returncode == 0, single.stdout[-2000:] + single.stderr[-2000:]
+    ref = parse(single.stdout)
+    assert "EVAL_MEAN_F1" in ref
+
+    port = _free_port()
+    procs = []
+    for p in range(2):
+        env = dict(env1)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(p)
+        procs.append(subprocess.Popen(base_cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True, env=env))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multihost evaluate failed:\n{out[-3000:]}"
+    got = parse(outs[0])  # process 0 prints the reduced metrics
+    assert not parse(outs[1])  # non-main prints nothing
+    assert abs(got["EVAL_MEAN_F1"] - ref["EVAL_MEAN_F1"]) < 1e-6, (got, ref)
+    assert abs(got["EVAL_BEST_THRESHOLD"] - ref["EVAL_BEST_THRESHOLD"]) < 1e-9
