@@ -253,10 +253,12 @@ def _lstm_recurrence_fwd(xw, wh_stacked):
     return h, (xw_tm, wh_stacked.astype(jnp.float32), h_tm, c_tm, t)
 
 
-def _lstm_recurrence_bwd(residuals, dh, unroll: int = 2):
-    # Backward stays at unroll=1: its VMEM working set already holds wh (8 MB
-    # at H=512) plus the dW_hh accumulator (8 MB); unrolled input blocks push
-    # the double-buffered total past the 16 MB scoped-vmem limit at bs 16.
+def _lstm_recurrence_bwd(residuals, dh, unroll: int = 1):
+    # unroll=2 fits VMEM (wh 8 MB + ~3 MB double-buffered blocks; the dW_hh
+    # accumulator lives outside) but measured NO train-step change at bs 16
+    # (219.1 vs 219.2 ms) -- the recurrence is not the bottleneck (see
+    # DESIGN.md roofline) -- so the default stays at 1 for the cheaper
+    # compile. The parameter is kept for larger-batch configs.
     xw_tm, wh, h_tm, c_tm, t = residuals
     t_pad, two_b, four_h = xw_tm.shape
     hidden = four_h // 4

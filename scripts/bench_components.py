@@ -48,37 +48,37 @@ def main(argv=None):
     dt = jnp.bfloat16
 
     def timed(fn, *xs):
+        # host-chained dispatches, fenced once (bench.py discipline): the
+        # dispatch RPC pipelines under device time for these >=30 ms stages
         jfn = jax.jit(fn)
         _ = int(jfn(*xs))
         times = []
         for _i in range(args.iters):
             t0 = time.perf_counter()
-            _ = int(jfn(*xs))
+            fences = [jfn(*xs) for _ in range(args.chain)]
+            _ = [int(f) for f in fences]
             times.append((time.perf_counter() - t0) / args.chain)
         times.sort()
         return times[len(times) // 2] * 1e3
 
     def fwdbwd_loop(mod, x):
+        # params passed as arguments (a closure would bake them into the
+        # HLO as constants -- the 160 MB l0 projection blows the remote
+        # relay's request size limit)
         v = mod.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                      x[:1], train=True)
 
-        def one(xx):
+        def fn(v, x0):
             def loss(q):
                 out, _ = mod.apply(v, q, train=True,
                                    rngs={"dropout": jax.random.key(1)},
                                    mutable=["batch_stats"])
                 return jnp.sum(out.astype(jnp.float32))
 
-            return jax.grad(loss)(xx)
-
-        def fn(x0):
-            def body(_, xx):
-                return one(xx) * jnp.asarray(0.999, xx.dtype)
-
-            g = jax.lax.fori_loop(0, args.chain, body, x0)
+            g = jax.grad(loss)(x0)
             return jnp.sum(g.astype(jnp.float32)).astype(jnp.int32)
 
-        return fn
+        return fn, v
 
     results = {}
 
@@ -96,7 +96,8 @@ def main(argv=None):
             return x
 
     mel = jnp.asarray(rng.standard_normal((B, mels, T, 1)), dt)  # NHWC
-    results["conv_stack"] = timed(fwdbwd_loop(ConvStack(), mel), mel)
+    fn, v = fwdbwd_loop(ConvStack(), mel)
+    results["conv_stack"] = timed(fn, v, mel)
 
     # 2) LSTM tier: xw projections + recurrences, main (3 layers) + local
     feat = jnp.asarray(rng.standard_normal((B, T, 256 * (mels // 8))), dt)
@@ -110,13 +111,15 @@ def main(argv=None):
                                   backend=args.lstm_backend, name="rnn_local")(x, train)
             return jnp.concatenate([main, local], axis=-1)
 
-    results["lstm_tier"] = timed(fwdbwd_loop(LstmTier(), feat), feat)
+    fn, v = fwdbwd_loop(LstmTier(), feat)
+    results["lstm_tier"] = timed(fn, v, feat)
 
     # 3) attention block (xla backend, as trained)
     comb = jnp.asarray(rng.standard_normal((B, T, 2 * H + H)), dt)
     attn = M.MultiHeadSelfAttention(hidden_dim=comb.shape[-1], num_heads=8,
                                     dropout=0.0, dtype=dt, backend="xla")
-    results["attention"] = timed(fwdbwd_loop(attn, comb), comb)
+    fn, v = fwdbwd_loop(attn, comb)
+    results["attention"] = timed(fn, v, comb)
 
     # ------------------------------------------------------------- roofline
     def conv_macs(cout, hw, k, cin):
