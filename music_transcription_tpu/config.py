@@ -156,6 +156,12 @@ class TrainConfig:
     max_nan_batches: int = 10  # abort after this many NaN/Inf losses
     # Parallelism: number of data-parallel shards; None -> all local devices.
     data_parallel: int | None = None
+    # State partitioning: "dp" (replicated state), "zero1" (optimizer state
+    # sharded), "fsdp" (params + optimizer state sharded). zero1/fsdp use the
+    # compiler-partitioned path (parallel/partitioning.py).
+    partitioning: str = "dp"
+    # >1 builds a 2-D (data, model) mesh; state shards over the model axis.
+    model_parallel: int = 1
     # Host input pipeline
     num_workers: int = 8
     prefetch_batches: int = 2

@@ -77,6 +77,7 @@ class Loader:
         drop_last: bool = False,
         collate=collate_mel,
         pad_to: int | None = None,
+        pad_last_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -86,7 +87,24 @@ class Loader:
         self.drop_last = drop_last
         self.collate = collate
         self.pad_to = pad_to
+        # Pad the tail batch to the full batch_size with zero rows
+        # (lengths == 0 -> exactly neutral under the masked loss): every
+        # batch keeps ONE static shape (no tail-shape recompile) and stays
+        # shardable over any mesh. For evaluation; training drops the tail
+        # instead (BatchNorm batch stats are not padding-neutral).
+        self.pad_last_batch = pad_last_batch and not drop_last
         self.epoch = 0
+
+    def _maybe_pad(self, batch):
+        if not self.pad_last_batch:
+            return batch
+        n = batch[0].shape[0]
+        if n == self.batch_size:
+            return batch
+        def pad(a):
+            widths = [(0, self.batch_size - n)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths)
+        return tuple(pad(np.asarray(a)) for a in batch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -110,7 +128,9 @@ class Loader:
         ]
         if self.num_workers == 0:
             for bidx in batches:
-                yield self.collate([self.dataset[int(i)] for i in bidx], pad_to=self.pad_to)
+                yield self._maybe_pad(
+                    self.collate([self.dataset[int(i)] for i in bidx], pad_to=self.pad_to)
+                )
             return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             lookahead = max(2, self.num_workers)
@@ -128,15 +148,21 @@ class Loader:
                 if bi < len(batches):
                     futures.append(submit(batches[bi]))
                     bi += 1
-                yield self.collate([f.result() for f in fs], pad_to=self.pad_to)
+                yield self._maybe_pad(self.collate([f.result() for f in fs], pad_to=self.pad_to))
 
 
-def device_prefetch(iterator, mesh=None, depth: int = 2):
+def device_prefetch(iterator, mesh=None, depth: int = 2, pad_to_mesh: bool = False):
     """Move host batches to device ahead of consumption.
 
     With a mesh, arrays are sharded on axis 0 over the data axis; otherwise
     committed to the default device. Bounded queue keeps ``depth`` batches
     in flight (the pin_memory/prefetch_factor analogue).
+
+    ``pad_to_mesh`` zero-pads a partial tail batch up to the data-axis size so
+    it stays shardable. Zero rows carry ``lengths == 0``, which the masked
+    loss excludes from BOTH numerator and denominator — so a padded eval
+    batch scores exactly the unpadded loss. (Training keeps ``drop_last``
+    instead: BatchNorm batch statistics are not padding-neutral.)
 
     Multi-host (jax.process_count() > 1): the iterator yields this process's
     LOCAL batch (global_batch / process_count rows, e.g. from a ProcessShard
@@ -150,8 +176,27 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
 
     sharding = batch_sharding(mesh) if mesh is not None else jax.devices()[0]
     multihost = mesh is not None and jax.process_count() > 1
+    n_data = 1
+    if mesh is not None and pad_to_mesh:
+        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", mesh.size)
+
+    def pad(batch):
+        leaves = jax.tree.leaves(batch)
+        if not leaves:
+            return batch
+        n = np.shape(leaves[0])[0]
+        target = -(-n // n_data) * n_data
+        if target == n:
+            return batch
+        def pad_leaf(a):
+            a = np.asarray(a)
+            widths = [(0, target - n)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths)
+        return jax.tree.map(pad_leaf, batch)
 
     def put(batch):
+        if n_data > 1:
+            batch = pad(batch)
         if multihost:
             return jax.tree.map(
                 lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),

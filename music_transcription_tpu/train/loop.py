@@ -80,8 +80,10 @@ def train_one_epoch(step_fn, state, loader, rng, *, mesh=None, max_nan: int = 10
 
 
 def evaluate(eval_fn, state, loader, *, mesh=None) -> float:
+    # pad_to_mesh keeps a partial tail batch shardable; zero rows carry
+    # lengths==0, which the masked loss excludes exactly (pipeline.py).
     total, n = 0.0, 0
-    for batch in device_prefetch(iter(loader), mesh=mesh):
+    for batch in device_prefetch(iter(loader), mesh=mesh, pad_to_mesh=True):
         total += float(eval_fn(state, batch))
         n += 1
     return total / max(1, n)
@@ -150,12 +152,21 @@ def train_model(
     os.makedirs(ckpt_dir, exist_ok=True)
 
     if mesh is None:
-        n = train_cfg.data_parallel or len(jax.devices())
-        mesh = make_mesh(n) if n > 1 else None
-    if mesh is not None and train_cfg.batch_size % mesh.size != 0:
-        raise ValueError(
-            f"batch_size={train_cfg.batch_size} must divide the mesh ({mesh.size} devices)"
-        )
+        mp = train_cfg.model_parallel or 1
+        if mp > 1:
+            from music_transcription_tpu.parallel.partitioning import make_mesh_2d
+
+            n = train_cfg.data_parallel or len(jax.devices()) // mp
+            mesh = make_mesh_2d(n, mp)
+        else:
+            n = train_cfg.data_parallel or len(jax.devices())
+            mesh = make_mesh(n) if n > 1 else None
+    if mesh is not None:
+        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", mesh.size)
+        if train_cfg.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size={train_cfg.batch_size} must divide the data axis ({n_data} shards)"
+            )
 
     model = TranscriptionModel(model_cfg)
     tx = make_optimizer(train_cfg)
@@ -166,7 +177,31 @@ def train_model(
         state = ckpt_lib.load_checkpoint(resume_from, like=state)
         if verbose:
             print(f"Resumed from {resume_from} at step {int(state['step'])}")
-    if mesh is not None:
+    partitioning = train_cfg.partitioning
+    if partitioning not in ("dp", "zero1", "fsdp"):
+        raise ValueError(f"unknown partitioning {partitioning!r} (dp | zero1 | fsdp)")
+    if mesh is not None and partitioning != "dp":
+        # ZeRO-1 / FSDP: sharded train state via GSPMD shardings — same step
+        # function, new placement (parallel/partitioning.py).
+        if model_cfg.lstm_backend == "pallas":
+            raise ValueError(
+                "partitioning='zero1'/'fsdp' uses the compiler-partitioned path; "
+                "the fused Pallas LSTM has no partitioning rule (set lstm_backend='scan')"
+            )
+        from music_transcription_tpu.parallel.mesh import batch_sharding
+        from music_transcription_tpu.parallel.partitioning import (
+            jit_partitioned,
+            shard_state,
+            state_shardings,
+        )
+
+        shardings = state_shardings(state, mesh, shard_params=(partitioning == "fsdp"))
+        state = shard_state(state, shardings)
+        step_fn = jit_partitioned(make_train_step(model, tx), mesh, shardings)
+        eval_fn = jax.jit(
+            make_eval_step(model), in_shardings=(shardings, batch_sharding(mesh))
+        )
+    elif mesh is not None:
         state = replicate(state, mesh)
         if model_cfg.lstm_backend == "pallas":
             # explicit-SPMD path: per-shard local programs (fused kernels

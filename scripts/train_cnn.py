@@ -62,6 +62,14 @@ def build_parser():
     e.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     e.add_argument("--data_parallel", type=int, default=None,
                    help="number of data-parallel devices (default: all)")
+    e.add_argument("--partitioning", type=str, default="dp",
+                   choices=["dp", "zero1", "fsdp"],
+                   help="train-state placement: dp = replicated, zero1 = "
+                        "optimizer state sharded, fsdp = params + optimizer "
+                        "state sharded (for models that exceed one chip)")
+    e.add_argument("--model_parallel", type=int, default=1,
+                   help=">1 builds a 2-D (data, model) mesh; zero1/fsdp "
+                        "state shards over the model axis")
     e.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     e.add_argument("--run_dir", type=str, default=None)
     e.add_argument("--out_root", type=str, default="outputs")
@@ -127,8 +135,13 @@ def main(argv=None):
     lstm_backend = args.lstm_backend
     if lstm_backend == "auto":
         # fused kernels on any TPU topology (multi-device training runs the
-        # explicit-SPMD shard_map step); scan on CPU.
-        lstm_backend = "pallas" if jax.devices()[0].platform != "cpu" else "scan"
+        # explicit-SPMD shard_map step); scan on CPU — and scan under
+        # zero1/fsdp, whose sharded state needs the compiler-partitioned path.
+        lstm_backend = (
+            "pallas"
+            if jax.devices()[0].platform != "cpu" and args.partitioning == "dp"
+            else "scan"
+        )
 
     audio_cfg = AudioConfig(n_mels=args.n_mels, chunk_length=args.chunk_length)
     model_cfg = ModelConfig(
@@ -152,6 +165,8 @@ def main(argv=None):
         save_every=args.save_every,
         seed=args.seed,
         data_parallel=args.data_parallel,
+        partitioning=args.partitioning,
+        model_parallel=args.model_parallel,
         num_workers=args.num_workers,
     )
 
@@ -192,9 +207,12 @@ def main(argv=None):
         train_set, loader_batch, shuffle=True, seed=args.seed,
         num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
     )
+    # Validation keeps the tail batch (the reference's val loader does not
+    # drop_last): it pads to the full batch size with lengths==0 rows, which
+    # the masked loss excludes exactly — same static shape, every sample seen.
     val_loader = Loader(
         val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
-        drop_last=True, pad_to=pad_to,
+        pad_to=pad_to, pad_last_batch=True,
     )
     if len(val_loader) == 0:
         val_loader = None

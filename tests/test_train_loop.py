@@ -76,6 +76,43 @@ def test_train_model_data_parallel_mesh(maestro_root, tmp_path):
     assert int(state["step"]) == 1  # 5 chunks, bs 4, drop_last -> 1 step
 
 
+def test_train_model_fsdp_partitioning(maestro_root, tmp_path):
+    """train_model with partitioning='fsdp' + model_parallel=2: the loop
+    builds the 2-D (data, model) mesh itself, trains with sharded state,
+    evaluates through the sharded eval step, and checkpoints (np.asarray
+    gathers the shards)."""
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+                       dropout=0.0, compute_dtype="float32")
+    tcfg = TrainConfig(epochs=1, batch_size=4, learning_rate=1e-3, save_every=1,
+                       num_workers=0, partitioning="fsdp", model_parallel=2,
+                       data_parallel=4)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    val_set = MaestroDataset(maestro_root, split="validation", chunk_length=2.0, audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    loader = Loader(train_set, 4, shuffle=True, num_workers=0, drop_last=True, pad_to=pad_to)
+    val_loader = Loader(val_set, 4, num_workers=0, pad_to=pad_to)
+    run_dir = tmp_path / "fsdp_run"
+    _, state, history = train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=loader, val_loader=val_loader,
+        run_dir=str(run_dir), verbose=False,
+    )
+    assert np.isfinite(history["train_loss"][0])
+    assert np.isfinite(history["val_loss"][0])
+    # state leaves really sharded (one per LSTM/dense matrix at minimum)
+    import jax
+
+    assert any(
+        hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        for l in jax.tree.leaves(state["params"])
+    )
+    # checkpoint round-trips into inference
+    from music_transcription_tpu.transcribe import load_model
+
+    loaded = load_model(str(run_dir / "checkpoints" / "model_final"))
+    assert loaded.model.config.n_mels == 32
+
+
 def test_train_cnn_cli_smoke(maestro_root, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     run_dir = tmp_path / "cli_run"

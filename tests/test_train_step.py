@@ -98,6 +98,18 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+def test_eval_loss_padding_neutral():
+    """Zero-padded rows with lengths==0 must not move the masked eval loss —
+    the invariant behind device_prefetch(pad_to_mesh=True) (pipeline.py)."""
+    model, _, state, batch = _setup(batch=3)
+    mel, roll, lengths = batch
+    loss = float(jax.jit(make_eval_step(model))(state, batch))
+    pad = lambda a: jnp.concatenate([a, jnp.zeros((5,) + a.shape[1:], a.dtype)])
+    padded = (pad(mel), pad(roll), pad(lengths))
+    loss_p = float(jax.jit(make_eval_step(model))(state, padded))
+    assert abs(loss - loss_p) < 1e-6
+
+
 def test_weight_decay_and_clip_present():
     cfg = TrainConfig()
     tx = make_optimizer(cfg)
