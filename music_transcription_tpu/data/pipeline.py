@@ -96,15 +96,11 @@ class Loader:
         self.epoch = 0
 
     def _maybe_pad(self, batch):
-        if not self.pad_last_batch:
+        if not self.pad_last_batch or batch[0].shape[0] == self.batch_size:
             return batch
-        n = batch[0].shape[0]
-        if n == self.batch_size:
-            return batch
-        def pad(a):
-            widths = [(0, self.batch_size - n)] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, widths)
-        return tuple(pad(np.asarray(a)) for a in batch)
+        from music_transcription_tpu.parallel.mesh import pad_to_multiple
+
+        return tuple(pad_to_multiple(np.asarray(a), self.batch_size)[0] for a in batch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -158,11 +154,18 @@ def device_prefetch(iterator, mesh=None, depth: int = 2, pad_to_mesh: bool = Fal
     committed to the default device. Bounded queue keeps ``depth`` batches
     in flight (the pin_memory/prefetch_factor analogue).
 
-    ``pad_to_mesh`` zero-pads a partial tail batch up to the data-axis size so
-    it stays shardable. Zero rows carry ``lengths == 0``, which the masked
-    loss excludes from BOTH numerator and denominator — so a padded eval
-    batch scores exactly the unpadded loss. (Training keeps ``drop_last``
-    instead: BatchNorm batch statistics are not padding-neutral.)
+    ``pad_to_mesh`` zero-pads a partial tail batch so it stays shardable AND
+    shape-stable: the tail pads up to the first batch's row count when one
+    was seen (one compiled shape for the whole epoch — tail-shape recompiles
+    cost minutes through the remote-compile relay), else up to the data-axis
+    multiple. Zero rows carry ``lengths == 0``, which the masked loss
+    excludes from BOTH numerator and denominator — so a padded eval batch
+    scores exactly the unpadded loss. (Training keeps ``drop_last`` instead:
+    BatchNorm batch statistics are not padding-neutral.) Multi-host feeds
+    per-process local rows, for which a global-size pad target would be
+    wrong — there, size alignment is the Loader's job
+    (``pad_last_batch=True``, identical on every host), and ``pad_to_mesh``
+    is a no-op.
 
     Multi-host (jax.process_count() > 1): the iterator yields this process's
     LOCAL batch (global_batch / process_count rows, e.g. from a ProcessShard
@@ -172,27 +175,33 @@ def device_prefetch(iterator, mesh=None, depth: int = 2, pad_to_mesh: bool = Fal
     """
     import jax
 
-    from music_transcription_tpu.parallel.mesh import batch_sharding
+    from music_transcription_tpu.parallel.mesh import (
+        DATA_AXIS,
+        batch_sharding,
+        pad_to_multiple,
+    )
 
     sharding = batch_sharding(mesh) if mesh is not None else jax.devices()[0]
     multihost = mesh is not None and jax.process_count() > 1
     n_data = 1
-    if mesh is not None and pad_to_mesh:
-        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", mesh.size)
+    if mesh is not None and pad_to_mesh and not multihost:
+        n_data = dict(mesh.shape).get(DATA_AXIS, mesh.size)
+    first_n: list[int] = []
 
     def pad(batch):
         leaves = jax.tree.leaves(batch)
         if not leaves:
             return batch
         n = np.shape(leaves[0])[0]
-        target = -(-n // n_data) * n_data
+        aligned = -(-n // n_data) * n_data  # mesh-divisible ceiling
+        if not first_n:
+            first_n.append(aligned)
+        # pad to the first batch's (aligned) size when the tail is smaller —
+        # one static shape per epoch; a larger batch just mesh-aligns itself
+        target = first_n[0] if aligned <= first_n[0] else aligned
         if target == n:
             return batch
-        def pad_leaf(a):
-            a = np.asarray(a)
-            widths = [(0, target - n)] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, widths)
-        return jax.tree.map(pad_leaf, batch)
+        return jax.tree.map(lambda a: pad_to_multiple(np.asarray(a), target)[0], batch)
 
     def put(batch):
         if n_data > 1:

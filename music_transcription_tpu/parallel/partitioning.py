@@ -42,6 +42,8 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
     ``jax.devices()`` on a slice."""
     if devices is None:
         devices = jax.devices()
+    if n_data < 1 or n_model < 1:
+        raise ValueError(f"mesh dims must be >= 1, got ({n_data}, {n_model})")
     need = n_data * n_model
     if need > len(devices):
         raise ValueError(f"requested {need} devices, have {len(devices)}")

@@ -180,14 +180,27 @@ def make_train_step_shardmap(model, tx, mesh, *, multi_head: bool | None = None)
 
 
 def make_eval_step_shardmap(model, mesh, *, multi_head: bool | None = None):
-    """Validation loss under shard_map (mean of per-shard masked losses)."""
+    """Validation loss under shard_map, denominator-weighted across shards.
+
+    Each shard's masked loss is a mean over its valid frames, so the exact
+    global loss is sum(local * denom) / sum(denom) — the same reduction the
+    shard_map train step uses. A plain pmean would deflate the loss whenever
+    shards hold different valid-frame counts: short tail chunks, and
+    especially all-padding rows from ``Loader(pad_last_batch=True)`` (those
+    shards carry loss 0 and MUST get weight 0, not 1/n_shards).
+    """
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
     base = make_eval_step(model, multi_head=multi_head)
 
     def local_eval(state, batch):
-        return jax.lax.pmean(base(state, batch), axis)
+        _, roll, lengths = batch
+        loss = base(state, batch)
+        t = roll.shape[-1]
+        denom = jnp.sum(jnp.clip(lengths, 0, t)).astype(jnp.float32)
+        denom_sum = jnp.maximum(jax.lax.pmean(denom, axis), 1e-9)
+        return jax.lax.pmean(loss * denom, axis) / denom_sum
 
     sharded = jax.shard_map(
         local_eval, mesh=mesh,

@@ -151,9 +151,17 @@ def train_model(
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    partitioning = train_cfg.partitioning
+    if partitioning not in ("dp", "zero1", "fsdp"):
+        raise ValueError(f"unknown partitioning {partitioning!r} (dp | zero1 | fsdp)")
     if mesh is None:
         mp = train_cfg.model_parallel or 1
         if mp > 1:
+            if partitioning == "dp":
+                raise ValueError(
+                    "model_parallel > 1 with partitioning='dp' would replicate all "
+                    "work across the model axis — use partitioning='zero1'/'fsdp'"
+                )
             from music_transcription_tpu.parallel.partitioning import make_mesh_2d
 
             n = train_cfg.data_parallel or len(jax.devices()) // mp
@@ -161,8 +169,22 @@ def train_model(
         else:
             n = train_cfg.data_parallel or len(jax.devices())
             mesh = make_mesh(n) if n > 1 else None
+    if partitioning != "dp":
+        if mesh is None:
+            raise ValueError(
+                "partitioning='zero1'/'fsdp' shards state over a mesh; "
+                "this run resolved to a single device (nothing to shard over)"
+            )
+        if jax.process_count() > 1:
+            raise ValueError(
+                "partitioning='zero1'/'fsdp' is single-host for now: checkpoint "
+                "save gathers shards on process 0, which cannot address other "
+                "hosts' shards (use partitioning='dp' on pods)"
+            )
     if mesh is not None:
-        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", mesh.size)
+        from music_transcription_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = dict(mesh.shape).get(DATA_AXIS, mesh.size)
         if train_cfg.batch_size % n_data != 0:
             raise ValueError(
                 f"batch_size={train_cfg.batch_size} must divide the data axis ({n_data} shards)"
@@ -177,9 +199,6 @@ def train_model(
         state = ckpt_lib.load_checkpoint(resume_from, like=state)
         if verbose:
             print(f"Resumed from {resume_from} at step {int(state['step'])}")
-    partitioning = train_cfg.partitioning
-    if partitioning not in ("dp", "zero1", "fsdp"):
-        raise ValueError(f"unknown partitioning {partitioning!r} (dp | zero1 | fsdp)")
     if mesh is not None and partitioning != "dp":
         # ZeRO-1 / FSDP: sharded train state via GSPMD shardings — same step
         # function, new placement (parallel/partitioning.py).

@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--data_parallel", type=int, default=None)
     p.add_argument("--lstm_backend", type=str, default="auto",
                    choices=["auto", "scan", "pallas"])
+    p.add_argument("--rng_impl", type=str, default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG impl (rbg = hardware RNG path, cheaper "
+                        "mask generation; mask stream differs, which dropout "
+                        "does not care about)")
     args = p.parse_args(argv)
 
     import jax
@@ -74,7 +79,7 @@ def main(argv=None):
         batch = tuple(shard_batch(a, mesh) for a in (mel, roll, lengths))
     else:
         batch = (jnp.asarray(mel), jnp.asarray(roll), jnp.asarray(lengths))
-    key = jax.random.key(1)
+    key = jax.random.key(1, impl=args.rng_impl)
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch, key)

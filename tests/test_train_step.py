@@ -98,6 +98,33 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+def test_shardmap_eval_padding_and_length_weighted():
+    """make_eval_step_shardmap must be denominator-weighted: all-padding
+    shards (lengths==0, from Loader(pad_last_batch=True)) get weight 0, and
+    variable-length shards weight by valid frames — matching the jit global
+    masked loss exactly."""
+    from music_transcription_tpu.parallel.train_step import make_eval_step_shardmap
+
+    model, _, state, _ = _setup(batch=3, t=12)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((3, 1, 16, 12)).astype(np.float32)
+    roll = (rng.random((3, 88, 12)) > 0.9).astype(np.float32)
+    lengths = np.array([12, 7, 12], np.int32)  # variable valid lengths
+
+    ref = float(
+        jax.jit(make_eval_step(model))(
+            state, (jnp.asarray(mel), jnp.asarray(roll), jnp.asarray(lengths))
+        )
+    )
+
+    # pad 3 -> 8 rows (5 all-padding shards on the 8-device mesh)
+    pad = lambda a: np.concatenate([a, np.zeros((5,) + a.shape[1:], a.dtype)])
+    mesh = make_mesh(8)
+    batch = tuple(shard_batch(pad(a), mesh) for a in (mel, roll, lengths))
+    got = float(make_eval_step_shardmap(model, mesh)(replicate(state, mesh), batch))
+    assert abs(got - ref) < 1e-6
+
+
 def test_eval_loss_padding_neutral():
     """Zero-padded rows with lengths==0 must not move the masked eval loss —
     the invariant behind device_prefetch(pad_to_mesh=True) (pipeline.py)."""
