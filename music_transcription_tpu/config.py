@@ -162,6 +162,12 @@ class TrainConfig:
     partitioning: str = "dp"
     # >1 builds a 2-D (data, model) mesh; state shards over the model axis.
     model_parallel: int = 1
+    # Dropout PRNG: "auto" -> "rbg" on TPU (hardware RNG path; measured
+    # 220.5 -> 213.9 ms/step at bs16 — threefry mask generation is ~3% of
+    # the step), "threefry2x32" on CPU (cross-backend reproducible streams).
+    # Dropout only consumes the stream, so the impl is not a numerics-parity
+    # concern.
+    rng_impl: str = "auto"
     # Host input pipeline
     num_workers: int = 8
     prefetch_batches: int = 2

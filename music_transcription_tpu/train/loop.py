@@ -276,7 +276,10 @@ def train_model(
     log_path = os.path.join(run_dir, "training_log.txt")
     best_val = float("inf")
     history = {"train_loss": [], "val_loss": [], "step_losses": []}
-    rng = jax.random.key(train_cfg.seed + 1)
+    rng_impl = train_cfg.rng_impl
+    if rng_impl == "auto":  # see TrainConfig.rng_impl
+        rng_impl = "rbg" if jax.devices()[0].platform != "cpu" else "threefry2x32"
+    rng = jax.random.key(train_cfg.seed + 1, impl=rng_impl)
     nan_count = 0
 
     if profile_steps > 0:

@@ -80,6 +80,10 @@ def build_parser():
                         "(auto-generated if not specified)")
     e.add_argument("--profile_steps", type=int, default=0,
                    help="trace the first N train steps with jax.profiler")
+    e.add_argument("--rng_impl", type=str, default="auto",
+                   choices=["auto", "threefry2x32", "rbg"],
+                   help="dropout PRNG: auto = rbg on TPU (cheaper mask "
+                        "generation, ~3%% step), threefry on CPU")
     return p
 
 
@@ -167,6 +171,7 @@ def main(argv=None):
         data_parallel=args.data_parallel,
         partitioning=args.partitioning,
         model_parallel=args.model_parallel,
+        rng_impl=args.rng_impl,
         num_workers=args.num_workers,
     )
 

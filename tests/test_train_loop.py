@@ -85,7 +85,7 @@ def test_train_model_fsdp_partitioning(maestro_root, tmp_path):
                        dropout=0.0, compute_dtype="float32")
     tcfg = TrainConfig(epochs=1, batch_size=4, learning_rate=1e-3, save_every=1,
                        num_workers=0, partitioning="fsdp", model_parallel=2,
-                       data_parallel=4)
+                       data_parallel=4, rng_impl="rbg")  # also exercise rbg keys
     train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
     val_set = MaestroDataset(maestro_root, split="validation", chunk_length=2.0, audio_cfg=CFG)
     pad_to = CFG.mel_frames_per_chunk
