@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--n_mels", type=int, default=None)
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--num_layers", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=None,
+                   help="model dropout rate (inactive at eval; accepted for "
+                        "reference CLI parity, ref evaluate.py:883)")
     # threshold tuning (reference scripts/evaluate.py:556-618)
     p.add_argument("--tune_threshold", action="store_true")
     p.add_argument("--tune_rounds", type=int, default=6)
@@ -144,7 +147,7 @@ def main(argv=None):
 
     # Model config: sidecar (orbax) else CLI overrides else shipped defaults.
     overrides = {}
-    for k in ("model_type", "n_mels", "hidden_size", "num_layers"):
+    for k in ("model_type", "n_mels", "hidden_size", "num_layers", "dropout"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v

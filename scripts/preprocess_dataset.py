@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--show_cache_info", action="store_true")
     p.add_argument("--verify", action="store_true", help="verify cache integrity after run")
     p.add_argument("--background", action="store_true")
+    p.add_argument("--log_file", type=str, default=None,
+                   help="custom log file path (only with --background; "
+                        "ref preprocess_dataset.py:630)")
     return p
 
 
@@ -133,7 +136,7 @@ def main(argv=None):
 
     if args.background:
         os.makedirs(args.cache_dir, exist_ok=True)
-        log_path = os.path.join(
+        log_path = args.log_file or os.path.join(
             args.cache_dir, f"preprocess_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}.log"
         )
         argv_bg = [a for a in sys.argv[1:] if a != "--background"]

@@ -19,27 +19,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_parser():
+    # Every flag also accepts the reference's dash spelling (ref
+    # scripts/train_ast.py:142-169 uses --subset-size style) so reference
+    # command lines are drop-in.
     p = argparse.ArgumentParser(description="Train the AST token-generation model")
-    p.add_argument("--root_dir", type=str, default="maestro-v3.0.0")
-    p.add_argument("--cache_dir", type=str, default=None,
-                   help="tokenized or waveform cache (optional)")
+    p.add_argument("--root_dir", "--root-dir", type=str, default="maestro-v3.0.0")
+    p.add_argument("--cache_dir", "--cached_dir", "--cached-dir", type=str,
+                   default=None, help="tokenized or waveform cache (optional)")
+    p.add_argument("--split", type=str, default="train")
     p.add_argument("--year", type=str, default=None)
-    p.add_argument("--subset_size", type=str, default="all",
+    p.add_argument("--subset_size", "--subset-size", type=str, default="all",
                    help="'all' or an integer (0 == all)")
-    p.add_argument("--epochs", type=int, default=5)
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--epochs", "--num_epochs", "--num-epochs", type=int, default=5)
+    p.add_argument("--batch_size", "--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--chunk_length", type=float, default=10.0)
-    p.add_argument("--max_token_len", type=int, default=256)
-    p.add_argument("--decoder_layers", type=int, default=4)
-    p.add_argument("--decoder_dim", type=int, default=384)
-    p.add_argument("--decoder_heads", type=int, default=6)
-    p.add_argument("--remi_vocab_size", type=int, default=512)
+    p.add_argument("--model_type", "--model-type", type=str, default="ast",
+                   choices=["ast"])
+    p.add_argument("--chunk_length", "--chunk-length", type=float, default=10.0)
+    p.add_argument("--chunk_overlap", "--chunk-overlap", type=float, default=0.0)
+    p.add_argument("--max_token_len", "--max-token-len", type=int, default=256)
+    p.add_argument("--decoder_layers", "--decoder-layers", type=int, default=4)
+    p.add_argument("--decoder_dim", "--decoder-dim", type=int, default=384)
+    p.add_argument("--decoder_heads", "--decoder-heads", type=int, default=6)
+    p.add_argument("--remi_vocab_size", "--remi-vocab-size", type=int, default=512)
     p.add_argument("--dropout", type=float, default=0.2)
-    p.add_argument("--mock_encoder", action=argparse.BooleanOptionalAction, default=False)
-    p.add_argument("--sanity_checks", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--mock_encoder", "--use_mock_encoder", "--use-mock-encoder",
+                   action=argparse.BooleanOptionalAction, default=False)
+    # Deviation from the reference default (True): it freezes a *pretrained*
+    # encoder; ours is from-scratch, so freezing would silently cap quality
+    # (see PARITY.md / config.py:96-99).
+    p.add_argument("--freeze_encoder", "--freeze-encoder",
+                   action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--sanity_checks", "--run_sanity_checks", "--run-sanity-checks",
+                   action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--sanity_max_len", "--sanity-max-len", type=int, default=256,
+                   help="token budget used by the sanity round-trip check")
     p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
-    p.add_argument("--run_dir", type=str, default=None)
+    p.add_argument("--run_dir", "--run-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -86,8 +102,8 @@ def main(argv=None):
     audio_cfg = AudioConfig(chunk_length=args.chunk_length)
     tokenizer = REMITokenizer(vocab_size=args.remi_vocab_size)
 
-    if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, "train")):
-        dataset = CachedMaestroDataset(args.cache_dir, "train")
+    if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
+        dataset = CachedMaestroDataset(args.cache_dir, args.split)
         meta = dataset.metadata
         # AST needs waveforms: a mel cache or mismatched chunking would
         # silently mis-pair audio and tokens (train_cnn validates the same
@@ -103,14 +119,16 @@ def main(argv=None):
         pretokenized = meta.get("tokenize", False)
     else:
         dataset = MaestroDataset(
-            args.root_dir, split="train", chunk_length=args.chunk_length,
+            args.root_dir, split=args.split,
+            year=None if args.year in (None, "all") else args.year,
+            chunk_length=args.chunk_length, overlap=args.chunk_overlap,
             subset_size=subset, return_waveform=True, audio_cfg=audio_cfg,
         )
         pretokenized = False
     print(f"Train set: {len(dataset)} chunks (pretokenized={pretokenized})")
 
     if args.sanity_checks and not pretokenized:
-        run_sanity_checks(dataset, tokenizer, args.max_token_len)
+        run_sanity_checks(dataset, tokenizer, args.sanity_max_len)
 
     class TokenizingView:
         """waveform+roll -> waveform+tokens on the fly (collate_ast role)."""
@@ -138,6 +156,7 @@ def main(argv=None):
         model_type="ast", dropout=args.dropout, remi_vocab_size=args.remi_vocab_size,
         decoder_layers=args.decoder_layers, decoder_dim=args.decoder_dim,
         decoder_heads=args.decoder_heads, use_mock_encoder=args.mock_encoder,
+        freeze_encoder=args.freeze_encoder,
     )
     model = TranscriptionModel(model_cfg)
     sample_wave = jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32)

@@ -23,8 +23,9 @@ def build_parser():
     p = argparse.ArgumentParser(description="Train a transcription model (TPU-native)")
     d = p.add_argument_group("dataset")
     d.add_argument("--root_dir", type=str, default="maestro-v3.0.0")
-    d.add_argument("--cache_dir", type=str, default=None,
-                   help="preprocessed cache directory (auto-detected name if omitted)")
+    d.add_argument("--cache_dir", "--cached_dir", type=str, default=None,
+                   help="preprocessed cache directory (auto-detected name if "
+                        "omitted; --cached_dir is the reference spelling)")
     d.add_argument("--year", type=str, default=None)
     d.add_argument("--subset_size", type=int, default=None, help="Quick debug run")
 
@@ -43,7 +44,7 @@ def build_parser():
                         "--resume filename when left at 1)")
 
     m = p.add_argument_group("model")
-    m.add_argument("--model_type", type=str, default="cnn_rnn_large",
+    m.add_argument("--model_type", "--model", type=str, default="cnn_rnn_large",
                    choices=["cnn_rnn", "cnn_rnn_large"])
     m.add_argument("--n_mels", type=int, default=320)
     m.add_argument("--hidden_size", type=int, default=512)
@@ -51,6 +52,11 @@ def build_parser():
     m.add_argument("--dropout", type=float, default=0.2)
     m.add_argument("--no_attention", action="store_true")
     m.add_argument("--no_onset_offset_heads", action="store_true")
+    # reference-parity no-ops (both are on by default; ref train_cnn.py:110-113)
+    m.add_argument("--use_attention", action="store_true", default=True,
+                   help=argparse.SUPPRESS)
+    m.add_argument("--use_onset_offset_heads", action="store_true", default=True,
+                   help=argparse.SUPPRESS)
     m.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     m.add_argument("--lstm_backend", type=str, default="auto",
