@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""AST (token-route) evaluation CLI: generate -> decode -> note-level F1.
+
+CLI port of the reference's notebook evaluation driver (reference
+transformer_draft.ipynb cell 11: ``_trim_tokens`` / ``midi_to_note_events`` /
+``note_f1`` / ``evaluate_one_sample``): for each sample, autoregressively
+generate tokens from audio, trim at <eos>/skip <pad>, decode generated and
+ground-truth sequences to MIDI, and score with greedy onset matching
+(|onset| <= onset_tol and |pitch| <= pitch_tol).
+
+    python scripts/evaluate_ast.py --model outputs/ast_xxx/model_final \
+        --root_dir maestro-v3.0.0 --split test --subset 8 --headless
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Evaluate the AST token route")
+    p.add_argument("--model", type=str, required=True,
+                   help="checkpoint dir (with config.json sidecar)")
+    p.add_argument("--root_dir", "--root-dir", type=str, default="maestro-v3.0.0")
+    p.add_argument("--cache_dir", "--cached_dir", "--cached-dir", type=str,
+                   default=None, help="waveform/tokenized cache (optional)")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--year", type=str, default=None)
+    p.add_argument("--subset", type=int, default=None,
+                   help="evaluate only the first N samples")
+    p.add_argument("--max_len", "--max-len", type=int, default=1024,
+                   help="generation token budget (ref cell 11: 1024)")
+    p.add_argument("--onset_tol", "--onset-tol", type=float, default=0.1,
+                   help="onset tolerance in seconds (ref example: 0.1)")
+    p.add_argument("--pitch_tol", "--pitch-tol", type=float, default=0.5,
+                   help="pitch tolerance in semitones (ref example: 0.5)")
+    p.add_argument("--tokenizer", type=str, default="remi",
+                   choices=["remi", "event"],
+                   help="remi = pianoroll walk (models/remi_tokenizer.py), "
+                        "event = NOTE_ON/OFF/TIME_SHIFT (models/event_tokenizer.py)")
+    p.add_argument("--out_dir", "--out-dir", type=str, default=None,
+                   help="write per-sample gen_<i>.mid / gt_<i>.mid here")
+    p.add_argument("--midi_limit", type=int, default=8,
+                   help="cap on per-sample MIDI pairs written")
+    p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
+    p.add_argument("--headless", action="store_true",
+                   help="print a final EVAL_AST_NOTE_F1= line")
+    return p
+
+
+def trim_tokens(token_list, eos_id=1, pad_id=2):
+    """Drop pads, keep everything up to and including <eos> (ref cell 11)."""
+    out = []
+    for t in token_list:
+        t = int(t)
+        if t == pad_id:
+            continue
+        out.append(t)
+        if t == eos_id:
+            break
+    return out
+
+
+def note_f1(pred_notes, ref_notes, onset_tol=0.05, pitch_tol=0.0):
+    """Greedy onset matching (reference cell 11 ``note_f1`` semantics:
+    closest unused reference note within both tolerances)."""
+    import numpy as np
+
+    used = np.zeros(len(ref_notes), dtype=bool)
+    tp = 0
+    for pp, ps, _pe in pred_notes:
+        best_j, best_dt = -1, None
+        for j, (rp, rs, _re) in enumerate(ref_notes):
+            if used[j] or abs(pp - rp) > pitch_tol:
+                continue
+            dt = abs(ps - rs)
+            if dt <= onset_tol and (best_dt is None or dt < best_dt):
+                best_dt, best_j = dt, j
+        if best_j >= 0:
+            used[best_j] = True
+            tp += 1
+    fp = len(pred_notes) - tp
+    fn = len(ref_notes) - tp
+    prec = tp / (tp + fp + 1e-9)
+    rec = tp / (tp + fn + 1e-9)
+    f1 = 2 * prec * rec / (prec + rec + 1e-9)
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music_transcription_tpu.config import AudioConfig, ModelConfig
+    from music_transcription_tpu.data.cache import CachedMaestroDataset, metadata_path
+    from music_transcription_tpu.data.maestro import MaestroDataset
+    from music_transcription_tpu.data.midi import notes_to_midi, save_midi
+    from music_transcription_tpu.models.event_tokenizer import EventMIDITokenizer
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+    from music_transcription_tpu.models.transcription import TranscriptionModel
+    from music_transcription_tpu.train.checkpoints import load_checkpoint
+
+    cfg_path = os.path.join(args.model, "config.json")
+    if not os.path.exists(cfg_path):
+        print(f"Error: no config.json sidecar at {args.model}")
+        return 1
+    cfg = json.load(open(cfg_path))
+    model_cfg = ModelConfig(**cfg["model"])
+    audio_cfg = AudioConfig(**cfg.get("audio", {}))
+    if not model_cfg.is_ast:
+        print(f"Error: {args.model} is not an AST checkpoint "
+              f"(model_type={model_cfg.model_type}); use scripts/evaluate.py.")
+        return 1
+
+    model = TranscriptionModel(model_cfg)
+    like = model.init(jax.random.key(0),
+                      jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32))
+    variables = load_checkpoint(args.model, like={"params": like["params"]})
+
+    fr = audio_cfg.frame_rate
+    if args.tokenizer == "event":
+        tokenizer = EventMIDITokenizer(vocab_size=model_cfg.remi_vocab_size,
+                                       frame_rate=fr)
+    else:
+        tokenizer = REMITokenizer(vocab_size=model_cfg.remi_vocab_size)
+
+    pretokenized = False
+    if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
+        dataset = CachedMaestroDataset(args.cache_dir, args.split)
+        meta = dataset.metadata
+        if not (meta.get("return_waveform") or meta.get("tokenize")):
+            print(f"Error: cache {args.cache_dir} holds mel features; AST "
+                  f"evaluation needs a --waveform (or --tokenize) cache.")
+            return 1
+        pretokenized = meta.get("tokenize", False)
+        if pretokenized and args.tokenizer != "remi":
+            print("Error: pre-tokenized caches are REMI-encoded; rerun with "
+                  "--tokenizer remi or point at a waveform cache.")
+            return 1
+    else:
+        dataset = MaestroDataset(
+            args.root_dir, split=args.split,
+            year=None if args.year in (None, "all") else args.year,
+            chunk_length=audio_cfg.chunk_length, return_waveform=True,
+            audio_cfg=audio_cfg,
+        )
+
+    n = len(dataset)
+    if args.subset:
+        n = min(n, args.subset)
+    print(f"Evaluating {n} samples (tokenizer={args.tokenizer}, "
+          f"max_len={args.max_len}, onset_tol={args.onset_tol}s)")
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+
+    def decode_notes(tokens):
+        if args.tokenizer == "event":
+            return [(nt.pitch, nt.start, nt.end)
+                    for nt in tokenizer.decode_to_notes(tokens)]
+        from music_transcription_tpu.data.midi import pianoroll_to_notes
+
+        roll = tokenizer.decode_to_pianoroll(tokens, max_t=4096)
+        return [(nt.pitch, nt.start, nt.end)
+                for nt in pianoroll_to_notes(roll, fs=fr)]
+
+    totals = {"tp": 0, "fp": 0, "fn": 0}
+    per_sample = []
+    for i in range(n):
+        wave, second = dataset[i]
+        if pretokenized:
+            gt_tokens = [int(t) for t in np.asarray(second).tolist()]
+        else:
+            gt_tokens = tokenizer.encode_from_pianoroll(
+                np.asarray(second), max_len=args.max_len)
+        gen = model.apply(variables, jnp.asarray(wave)[None], train=False,
+                          targets=None, generate_max_len=args.max_len)
+        gen_tokens = trim_tokens(np.asarray(gen[0]).tolist(),
+                                 eos_id=tokenizer.eos, pad_id=tokenizer.pad)
+        gt_tokens = trim_tokens(gt_tokens, eos_id=tokenizer.eos,
+                                pad_id=tokenizer.pad)
+
+        gen_notes = decode_notes(gen_tokens)
+        gt_notes = decode_notes(gt_tokens)
+        m = note_f1(gen_notes, gt_notes, onset_tol=args.onset_tol,
+                    pitch_tol=args.pitch_tol)
+        per_sample.append(m["f1"])
+        for k in totals:
+            totals[k] += m[k]
+        print(f"[{i}] gen {len(gen_notes):4d} notes / gt {len(gt_notes):4d}: "
+              f"P={m['precision']:.3f} R={m['recall']:.3f} F1={m['f1']:.3f}")
+
+        if args.out_dir and i < args.midi_limit:
+            from music_transcription_tpu.data.midi import Note
+
+            for tag, trip in (("gen", gen_notes), ("gt", gt_notes)):
+                midi = notes_to_midi(
+                    [Note(pitch=p, start=s, end=e, velocity=80)
+                     for p, s, e in trip])
+                save_midi(midi, os.path.join(args.out_dir, f"{tag}_{i}.mid"))
+
+    tp, fp, fn = totals["tp"], totals["fp"], totals["fn"]
+    prec = tp / (tp + fp + 1e-9)
+    rec = tp / (tp + fn + 1e-9)
+    micro = 2 * prec * rec / (prec + rec + 1e-9)
+    mean = float(np.mean(per_sample)) if per_sample else 0.0
+    print(f"\nNote-level micro P={prec:.4f} R={rec:.4f} F1={micro:.4f} "
+          f"(mean per-sample F1={mean:.4f}, {n} samples)")
+    if args.headless:
+        print(f"EVAL_AST_NOTE_F1={micro:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,12 @@ def build_parser():
     p.add_argument("--decoder_dim", "--decoder-dim", type=int, default=384)
     p.add_argument("--decoder_heads", "--decoder-heads", type=int, default=6)
     p.add_argument("--remi_vocab_size", "--remi-vocab-size", type=int, default=512)
+    p.add_argument("--tokenizer", type=str, default="remi",
+                   choices=["remi", "event"],
+                   help="remi = pianoroll walk (models/remi_tokenizer.py); "
+                        "event = NOTE_ON/OFF/TIME_SHIFT straight from note "
+                        "events (models/event_tokenizer.py, ref "
+                        "transformer_draft.ipynb cell 5)")
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--mock_encoder", "--use_mock_encoder", "--use-mock-encoder",
                    action=argparse.BooleanOptionalAction, default=False)
@@ -100,7 +106,13 @@ def main(argv=None):
     from music_transcription_tpu.train.checkpoints import save_checkpoint
 
     audio_cfg = AudioConfig(chunk_length=args.chunk_length)
-    tokenizer = REMITokenizer(vocab_size=args.remi_vocab_size)
+    if args.tokenizer == "event":
+        from music_transcription_tpu.models.event_tokenizer import EventMIDITokenizer
+
+        tokenizer = EventMIDITokenizer(vocab_size=args.remi_vocab_size,
+                                       frame_rate=audio_cfg.frame_rate)
+    else:
+        tokenizer = REMITokenizer(vocab_size=args.remi_vocab_size)
 
     if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
         dataset = CachedMaestroDataset(args.cache_dir, args.split)
@@ -117,6 +129,10 @@ def main(argv=None):
                   f"not match --chunk_length {args.chunk_length}.")
             return 1
         pretokenized = meta.get("tokenize", False)
+        if pretokenized and args.tokenizer != "remi":
+            print("Error: pre-tokenized caches are REMI-encoded; use "
+                  "--tokenizer remi or a waveform cache.")
+            return 1
     else:
         dataset = MaestroDataset(
             args.root_dir, split=args.split,

@@ -110,3 +110,19 @@ def test_ast_learns_token_route(tmp_path):
         fn += int((~p & g).sum()) + int((np.asarray(roll)[:, t:] > 0).sum())
     f1 = 2 * tp / max(1, 2 * tp + fp + fn)
     assert f1 >= 0.9, f"AST tier failed to learn the fixture: F1={f1:.3f} (tp={tp} fp={fp} fn={fn})"
+
+    # The evaluate_ast CLI (notebook evaluation driver, transformer_draft
+    # cell 11) must score the same checkpoint: note-level F1 through
+    # generate -> trim -> decode -> greedy onset matching.
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate_ast.py"),
+         "--model", str(ckpt), "--root_dir", str(root), "--split", "train",
+         "--max_len", "64", "--device", "cpu", "--headless",
+         "--onset_tol", "0.15"],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert proc.returncode == 0, f"evaluate_ast: {proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    line = [l for l in proc.stdout.splitlines() if l.startswith("EVAL_AST_NOTE_F1=")]
+    assert line, proc.stdout[-2000:]
+    note_f1 = float(line[0].split("=")[1])
+    assert note_f1 >= 0.5, f"note-level F1 {note_f1} too low for an overfit model\n{proc.stdout[-1500:]}"
