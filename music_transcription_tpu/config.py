@@ -157,8 +157,10 @@ class TrainConfig:
     # Parallelism: number of data-parallel shards; None -> all local devices.
     data_parallel: int | None = None
     # State partitioning: "dp" (replicated state), "zero1" (optimizer state
-    # sharded), "fsdp" (params + optimizer state sharded). zero1/fsdp use the
-    # compiler-partitioned path (parallel/partitioning.py).
+    # sharded), "fsdp" (params + optimizer state sharded, largest-axis),
+    # "tp" (params + optimizer state sharded column-parallel on the feature
+    # axis — activations partition over the model axis). Non-dp modes use
+    # the compiler-partitioned path (parallel/partitioning.py).
     partitioning: str = "dp"
     # >1 builds a 2-D (data, model) mesh; state shards over the model axis.
     model_parallel: int = 1

@@ -69,6 +69,33 @@ def _leaf_spec(shape: tuple[int, ...], n: int, axis_name: str, min_size: int) ->
     return P()
 
 
+def _leaf_spec_tp(shape: tuple[int, ...], n: int, axis_name: str, min_size: int) -> P:
+    """Tensor-parallel spec: shard the FEATURE (last) axis first.
+
+    Column-parallel layout for every kernel — conv HWIO kernels shard C_out,
+    dense (in, out) kernels shard out, LSTM (in, 4H) projections shard the
+    gate dim — so under GSPMD the matmul outputs (activations) come out
+    feature-sharded over ``model`` and stay sharded through the elementwise
+    epilogues; XLA inserts the all-gather/psum only where an op genuinely
+    needs the full feature dim (the recurrence carry, the loss). Falls back
+    to the largest other divisible axis (row-parallel + psum), else
+    replicates.
+    """
+    size = int(np.prod(shape)) if shape else 0
+    if size < min_size:
+        return P()
+    last = len(shape) - 1
+    order = [last] + sorted(
+        (i for i in range(last)), key=lambda i: -shape[i]
+    )
+    for i in order:
+        if shape[i] % n == 0 and shape[i] >= 2 * n:
+            spec = [None] * len(shape)
+            spec[i] = axis_name
+            return P(*spec)
+    return P()
+
+
 def state_shardings(
     state,
     mesh: Mesh,
@@ -76,14 +103,23 @@ def state_shardings(
     shard_params: bool = False,
     shard_opt: bool = True,
     min_leaf_size: int = 16384,
+    strategy: str = "fsdp",
 ):
     """Per-leaf NamedShardings for the train-state pytree.
 
     ``shard_opt`` shards optimizer-state leaves (ZeRO-1); ``shard_params``
-    additionally shards params (FSDP). ``batch_stats`` and ``step`` always
-    replicate (they are read every forward and tiny). On a 2-D mesh the
-    shard axis is ``model``; on a 1-D mesh it is the ``data`` axis.
+    additionally shards params (FSDP/TP). ``strategy`` picks the axis rule:
+    ``"fsdp"`` shards each leaf's largest divisible axis (pure memory
+    partitioning — XLA all-gathers weights at use sites), ``"tp"`` shards
+    the feature/output axis (column-parallel — activations shard over
+    ``model`` and the compute itself partitions). ``batch_stats`` and
+    ``step`` always replicate (they are read every forward and tiny). On a
+    2-D mesh the shard axis is ``model``; on a 1-D mesh it is the ``data``
+    axis.
     """
+    if strategy not in ("fsdp", "tp"):
+        raise ValueError(f"unknown strategy {strategy!r} (fsdp | tp)")
+    spec_fn = _leaf_spec_tp if strategy == "tp" else _leaf_spec
     axis_name = MODEL_AXIS if MODEL_AXIS in mesh.axis_names else DATA_AXIS
     n = mesh.shape[axis_name]
 
@@ -91,7 +127,7 @@ def state_shardings(
         return jax.tree.map(
             lambda leaf: NamedSharding(
                 mesh,
-                _leaf_spec(tuple(np.shape(leaf)), n, axis_name, min_leaf_size)
+                spec_fn(tuple(np.shape(leaf)), n, axis_name, min_leaf_size)
                 if do_shard
                 else P(),
             ),

@@ -152,15 +152,17 @@ def train_model(
     os.makedirs(ckpt_dir, exist_ok=True)
 
     partitioning = train_cfg.partitioning
-    if partitioning not in ("dp", "zero1", "fsdp"):
-        raise ValueError(f"unknown partitioning {partitioning!r} (dp | zero1 | fsdp)")
+    if partitioning not in ("dp", "zero1", "fsdp", "tp"):
+        raise ValueError(
+            f"unknown partitioning {partitioning!r} (dp | zero1 | fsdp | tp)"
+        )
     if mesh is None:
         mp = train_cfg.model_parallel or 1
         if mp > 1:
             if partitioning == "dp":
                 raise ValueError(
                     "model_parallel > 1 with partitioning='dp' would replicate all "
-                    "work across the model axis — use partitioning='zero1'/'fsdp'"
+                    "work across the model axis — use partitioning='zero1'/'fsdp'/'tp'"
                 )
             from music_transcription_tpu.parallel.partitioning import make_mesh_2d
 
@@ -172,12 +174,12 @@ def train_model(
     if partitioning != "dp":
         if mesh is None:
             raise ValueError(
-                "partitioning='zero1'/'fsdp' shards state over a mesh; "
+                "partitioning='zero1'/'fsdp'/'tp' shards state over a mesh; "
                 "this run resolved to a single device (nothing to shard over)"
             )
         if jax.process_count() > 1:
             raise ValueError(
-                "partitioning='zero1'/'fsdp' is single-host for now: checkpoint "
+                "partitioning='zero1'/'fsdp'/'tp' is single-host for now: checkpoint "
                 "save gathers shards on process 0, which cannot address other "
                 "hosts' shards (use partitioning='dp' on pods)"
             )
@@ -204,7 +206,7 @@ def train_model(
         # function, new placement (parallel/partitioning.py).
         if model_cfg.lstm_backend == "pallas":
             raise ValueError(
-                "partitioning='zero1'/'fsdp' uses the compiler-partitioned path; "
+                "partitioning='zero1'/'fsdp'/'tp' uses the compiler-partitioned path; "
                 "the fused Pallas LSTM has no partitioning rule (set lstm_backend='scan')"
             )
         from music_transcription_tpu.parallel.mesh import batch_sharding
@@ -214,7 +216,11 @@ def train_model(
             state_shardings,
         )
 
-        shardings = state_shardings(state, mesh, shard_params=(partitioning == "fsdp"))
+        shardings = state_shardings(
+            state, mesh,
+            shard_params=partitioning in ("fsdp", "tp"),
+            strategy="tp" if partitioning == "tp" else "fsdp",
+        )
         state = shard_state(state, shardings)
         step_fn = jit_partitioned(make_train_step(model, tx), mesh, shardings)
         eval_fn = jax.jit(

@@ -207,6 +207,13 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         total, n = 0.0, 0
         for wave, tokens in loader:
+            tk = np.asarray(tokens)
+            if tk.min() < 0 or tk.max() >= args.remi_vocab_size:
+                # reference transformer_draft.ipynb cell 7 assert_tokens_ok
+                raise ValueError(
+                    f"Token id out of range: min={tk.min()}, max={tk.max()}, "
+                    f"vocab={args.remi_vocab_size}"
+                )
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(wave), jnp.asarray(tokens), sub

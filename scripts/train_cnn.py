@@ -69,10 +69,13 @@ def build_parser():
     e.add_argument("--data_parallel", type=int, default=None,
                    help="number of data-parallel devices (default: all)")
     e.add_argument("--partitioning", type=str, default="dp",
-                   choices=["dp", "zero1", "fsdp"],
+                   choices=["dp", "zero1", "fsdp", "tp"],
                    help="train-state placement: dp = replicated, zero1 = "
                         "optimizer state sharded, fsdp = params + optimizer "
-                        "state sharded (for models that exceed one chip)")
+                        "state sharded largest-axis (for models that exceed "
+                        "one chip), tp = column-parallel feature-axis "
+                        "sharding (tensor parallelism: activations partition "
+                        "over the model axis)")
     e.add_argument("--model_parallel", type=int, default=1,
                    help=">1 builds a 2-D (data, model) mesh; zero1/fsdp "
                         "state shards over the model axis")

@@ -118,6 +118,48 @@ def test_fsdp_2d_matches_replicated_dp():
     assert _n_sharded(s_f["opt_state"]) >= 2
 
 
+def test_tp_2d_matches_replicated_dp():
+    """Tensor parallelism over a (data=4, model=2) mesh: kernels shard
+    column-parallel on the feature axis (so activations partition over
+    ``model`` under GSPMD propagation); numerics match replicated DP."""
+    from jax.sharding import PartitionSpec
+
+    tx = optax.sgd(0.1, momentum=0.9)
+    model, state, batch = _setup(tx)
+    rng = jax.random.key(2)
+
+    mesh_1d = make_mesh(8)
+    step_dp = jit_data_parallel(make_train_step(model, tx), mesh_1d)
+    s_ref, m_ref = _run_steps(
+        step_dp,
+        replicate(jax.tree.map(jnp.copy, state), mesh_1d),
+        tuple(shard_batch(np.asarray(b), mesh_1d) for b in batch),
+        rng,
+    )
+
+    mesh = make_mesh_2d(4, 2)
+    shardings = state_shardings(
+        state, mesh, shard_params=True, min_leaf_size=MIN_LEAF, strategy="tp"
+    )
+    step_t = jit_partitioned(make_train_step(model, tx), mesh, shardings)
+    batch_s = tuple(shard_batch(np.asarray(b), mesh) for b in batch)
+    s_t, m_t = _run_steps(step_t, shard_state(jax.tree.map(jnp.copy, state), shardings), batch_s, rng)
+
+    assert abs(float(m_ref["loss"]) - float(m_t["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s_ref["params"]), jax.tree.leaves(s_t["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    # the TP signature: sharded 2-D kernels are sharded on their LAST
+    # (feature/output) axis, not merely their largest one
+    n_feature_sharded = 0
+    for leaf in jax.tree.leaves(s_t["params"]):
+        spec = getattr(leaf.sharding, "spec", None)
+        if spec is None or all(s is None for s in spec):
+            continue
+        assert spec[-1] is not None, f"TP leaf sharded off-feature: {spec} {leaf.shape}"
+        n_feature_sharded += 1
+    assert n_feature_sharded >= 2
+
+
 def test_fsdp_shards_reduce_addressable_bytes():
     tx = optax.sgd(0.1, momentum=0.9)
     _, state, _ = _setup(tx)
