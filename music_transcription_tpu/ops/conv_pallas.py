@@ -247,7 +247,23 @@ def _res_block_kernel(x_ref, w1, b1, s1, o1, w2, b2, s2, o2, ws, bs_, ss, os_,
     o_ref[0] = out
 
 
-def fused_res_block(x, p, *, pool: bool = False, f_blk: int = 4,
+def _res_vmem_estimate(f_blk: int, t_pad: int, c_in: int, c_mid: int,
+                       c_out: int) -> int:
+    """Approximate peak VMEM bytes of _res_block_kernel (dominant fp32/bf16
+    intermediates, x0.7 for compiler buffer reuse — calibrated against the
+    compiler's 18.05 MB report at f_blk=4, C 64->128, t_pad=944)."""
+    f2 = f_blk + 2
+    b = 0
+    b += f2 * t_pad * 3 * c_in * 4        # xc1 fp32
+    b += f2 * t_pad * 3 * c_in * 2        # per-dt bf16 matrix
+    b += 2 * f2 * t_pad * c_mid * 4       # acc1 + h1 fp32
+    b += f_blk * t_pad * 3 * c_mid * 4    # xc2 fp32
+    b += f_blk * t_pad * 3 * c_mid * 2    # m2 bf16
+    b += 2 * f_blk * t_pad * c_out * 4    # acc2/h2 + skip fp32
+    return int(b * 0.7)
+
+
+def fused_res_block(x, p, *, pool: bool = False, f_blk: int | None = None,
                     interpret: bool = False):
     """Fused ResidualBlock(train=False) [+ maxpool(2,1)] on NHWC bf16 input.
 
@@ -266,6 +282,11 @@ def fused_res_block(x, p, *, pool: bool = False, f_blk: int = 4,
     assert has_skip or c_in == c_out
     t_pad = _tpad(t, 3)
 
+    if f_blk is None:  # largest block fitting the ~16 MB VMEM scope
+        f_blk = 8
+        while f_blk > 2 and _res_vmem_estimate(f_blk, t_pad, c_in, c_mid,
+                                               c_out) > 14 * 2**20:
+            f_blk //= 2
     while f % f_blk or (pool and f_blk % 2):
         f_blk //= 2
     assert f_blk >= 2, (f, f_blk)
