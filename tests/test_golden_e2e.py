@@ -1,0 +1,59 @@
+"""Golden end-to-end transcription: shipped trained checkpoint, full CLI.
+
+``assets/demo_checkpoint`` is a small CNN-RNN trained to F1=1.000 on the
+deterministic synthetic fixture through the real preprocess/train CLIs
+(recipe in assets/demo_checkpoint/README.md). This test regenerates the
+fixture, runs ``main.py`` (WAV -> mel -> model -> roll -> MIDI), and checks
+the decoded notes against the known ground truth — a drift ANYWHERE in the
+pipeline (resampler, mel numerics, model forward, thresholding, roll->note
+decoding, MIDI writer) breaks it.
+"""
+
+import os
+import subprocess
+import sys
+
+from tests.maestro_fixture import make_maestro_root
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "assets", "demo_checkpoint")
+
+
+def _transcribe(wav, out, threshold="0.35"):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"), str(wav), CKPT,
+         "-d", "cpu", "-t", threshold, "-o", str(out)],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, f"main.py: {proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    from music_transcription_tpu.data.midi import load_midi
+
+    return load_midi(str(out)).instruments[0].notes
+
+
+def test_two_note_piece_exact(tmp_path):
+    root = make_maestro_root(tmp_path / "maestro")
+    notes = _transcribe(os.path.join(root, "2017", "piece0.wav"),
+                        tmp_path / "out0.mid")
+    # ground truth: 60 @ 0.5-1.5, 64 @ 2.0-3.0 (maestro_fixture.py specs)
+    assert [n.pitch for n in notes] == [60, 64], notes
+    want = {60: (0.5, 1.5), 64: (2.0, 3.0)}
+    for n in notes:
+        s, e = want[n.pitch]
+        assert abs(n.start - s) <= 0.10, (n.pitch, n.start, s)
+        assert abs(n.end - e) <= 0.15, (n.pitch, n.end, e)
+
+
+def test_long_note_across_chunks(tmp_path):
+    """piece1 holds pitch 72 for 6 s over a 6.5 s file — three 2 s chunks;
+    the batched-chunk path must stitch into (nearly) continuous coverage."""
+    root = make_maestro_root(tmp_path / "maestro")
+    notes = _transcribe(os.path.join(root, "2017", "piece1.wav"),
+                        tmp_path / "out1.mid")
+    assert notes, "no notes decoded"
+    assert {n.pitch for n in notes} == {72}, notes
+    covered = sum(n.end - n.start for n in notes)
+    assert covered >= 5.0, f"pitch-72 coverage only {covered:.2f}s: {notes}"
+    assert min(n.start for n in notes) <= 0.2
