@@ -78,7 +78,15 @@ class MaestroDataset:
         self.return_waveform = return_waveform
 
         if csv_path is None:
-            csv_path = os.path.join(self.root_dir, "maestro-v3.0.0.csv")
+            # v3 name first (reference hardcodes it, data/dataset.py:34-36);
+            # fall back to the v2 name so v2 roots work without csv_path.
+            for name in ("maestro-v3.0.0.csv", "maestro-v2.0.0.csv"):
+                cand = os.path.join(self.root_dir, name)
+                if os.path.exists(cand):
+                    csv_path = cand
+                    break
+            else:
+                csv_path = os.path.join(self.root_dir, "maestro-v3.0.0.csv")
         df = pd.read_csv(csv_path)
         if year is not None:
             df = df[df["year"] == int(year)]

@@ -30,6 +30,17 @@ def test_split_filtering(maestro_root):
     assert len(sub) == 1
 
 
+def test_v2_csv_name_autodetected(tmp_path):
+    """A MAESTRO-v2 root (maestro-v2.0.0.csv) works without csv_path."""
+    import os
+
+    root = make_maestro_root(tmp_path / "v2")
+    os.rename(os.path.join(root, "maestro-v3.0.0.csv"),
+              os.path.join(root, "maestro-v2.0.0.csv"))
+    ds = MaestroDataset(root, split="train", audio_cfg=CFG)
+    assert len(ds) == 2
+
+
 def test_chunk_index_semantics(maestro_root):
     # chunk_length=2s, no overlap: 4s file -> 2 chunks; 6.5s -> 3 chunks
     # (tail 0.5s < 50% of 2s dropped); 3s val file not included.
