@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--midi_limit", type=int, default=8,
                    help="cap on per-sample MIDI pairs written")
     p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
+    p.add_argument("--frame_f1", "--frame-f1", action="store_true",
+                   help="also report frame-level P/R/F1 of the decoded rolls "
+                        "vs the ground-truth rolls (reference "
+                        "scripts/transformer-draft.ipynb cell 31)")
     p.add_argument("--headless", action="store_true",
                    help="print a final EVAL_AST_NOTE_F1= line")
     return p
@@ -174,6 +178,7 @@ def main(argv=None):
                 for nt in pianoroll_to_notes(roll, fs=fr)]
 
     totals = {"tp": 0, "fp": 0, "fn": 0}
+    frame = {"tp": 0, "pred": 0, "gt": 0}
     per_sample = []
     for i in range(n):
         wave, second = dataset[i]
@@ -199,6 +204,17 @@ def main(argv=None):
         print(f"[{i}] gen {len(gen_notes):4d} notes / gt {len(gt_notes):4d}: "
               f"P={m['precision']:.3f} R={m['recall']:.3f} F1={m['f1']:.3f}")
 
+        if args.frame_f1 and not pretokenized:
+            gt_roll = (np.asarray(second) > 0.5)
+            gen_roll = tokenizer.decode_to_pianoroll(
+                gen_tokens, max_t=gt_roll.shape[-1]) > 0.5
+            t_min = min(gt_roll.shape[-1], gen_roll.shape[-1])
+            gp, pp = gt_roll[:, :t_min], gen_roll[:, :t_min]
+            frame["tp"] += int((gp & pp).sum())
+            # truncation is not free: frames past t_min count as misses
+            frame["pred"] += int(gen_roll.sum())
+            frame["gt"] += int(gt_roll.sum())
+
         if args.out_dir and i < args.midi_limit:
             from music_transcription_tpu.data.midi import Note
 
@@ -215,6 +231,13 @@ def main(argv=None):
     mean = float(np.mean(per_sample)) if per_sample else 0.0
     print(f"\nNote-level micro P={prec:.4f} R={rec:.4f} F1={micro:.4f} "
           f"(mean per-sample F1={mean:.4f}, {n} samples)")
+    if args.frame_f1 and frame["gt"]:
+        fp_ = frame["tp"] / (frame["pred"] + 1e-9)
+        fr_ = frame["tp"] / (frame["gt"] + 1e-9)
+        ff1 = 2 * fp_ * fr_ / (fp_ + fr_ + 1e-9)
+        print(f"Frame-level micro P={fp_:.4f} R={fr_:.4f} F1={ff1:.4f}")
+        if args.headless:
+            print(f"EVAL_AST_FRAME_F1={ff1:.6f}")
     if args.headless:
         print(f"EVAL_AST_NOTE_F1={micro:.6f}")
     return 0
