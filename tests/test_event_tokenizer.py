@@ -96,6 +96,29 @@ def test_encode_midi_and_roll_bridge():
     assert not roll[:, t:].any()
 
 
+def test_decode_never_crashes_on_arbitrary_ids():
+    """Generation can emit ANY id < vocab_size (and callers may pass junk);
+    decode must skip unknowns, never raise."""
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+
+    rng = np.random.default_rng(7)
+    etok = EventMIDITokenizer()
+    rtok = REMITokenizer()
+    for _ in range(20):
+        ids = rng.integers(0, 512, size=200).tolist()
+        notes = etok.decode_to_notes(ids)
+        for n in notes:
+            assert n.end > n.start
+        roll = etok.decode_to_pianoroll(ids, max_t=256)
+        assert roll.shape[0] == 88 and roll.shape[1] <= 256
+        roll2 = rtok.decode_to_pianoroll(ids, max_t=256)
+        assert roll2.shape[0] == 88 and roll2.shape[1] <= 256
+    # ids beyond vocab and negatives: still no crash
+    junk = [-5, 999999, 2**31 - 1, 0, 1]
+    etok.decode_to_notes(junk)
+    rtok.decode_to_pianoroll(junk, max_t=16)
+
+
 def test_note_f1_greedy_matching():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
