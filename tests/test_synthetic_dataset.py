@@ -1,0 +1,55 @@
+"""make_synthetic_dataset.py produces a MAESTRO-layout tree every CLI accepts."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from music_transcription_tpu.config import AudioConfig
+from music_transcription_tpu.data.maestro import MaestroDataset
+from music_transcription_tpu.data.midi import load_midi
+
+
+def test_generate_load_and_alignment(tmp_path):
+    from make_synthetic_dataset import main
+
+    root = tmp_path / "synth"
+    assert main(["--out", str(root), "--pieces", "5", "--duration", "8",
+                 "--seed", "3"]) == 0
+    assert os.path.exists(root / "maestro-v3.0.0.csv")
+
+    cfg = AudioConfig(n_mels=48, chunk_length=4.0)
+    for split, min_n in (("train", 1), ("validation", 1), ("test", 1)):
+        ds = MaestroDataset(str(root), split=split, chunk_length=4.0,
+                            audio_cfg=cfg)
+        assert len(ds) >= min_n, split
+    ds = MaestroDataset(str(root), split="train", chunk_length=4.0, audio_cfg=cfg)
+    mel, roll = ds[0]
+    assert mel.shape[0] == 48 and roll.shape[0] == 88
+    assert (roll > 0).any(), "roll empty — MIDI/audio misaligned?"
+
+    # the audio actually contains energy where the roll says notes play
+    wave_ds = MaestroDataset(str(root), split="train", chunk_length=4.0,
+                             audio_cfg=cfg, return_waveform=True)
+    wav, roll2 = wave_ds[0]
+    wav = np.asarray(wav)
+    fs = roll2.shape[-1] / 4.0
+    active = np.asarray(roll2).any(axis=0)
+    if active.any() and (~active).any():
+        sr = cfg.sample_rate
+        e_on, e_off, n_on, n_off = 0.0, 0.0, 0, 0
+        for t in range(roll2.shape[-1]):
+            a, b = int(t / fs * sr), int((t + 1) / fs * sr)
+            e = float((wav[a:b] ** 2).mean()) if b > a else 0.0
+            if active[t]:
+                e_on += e; n_on += 1
+            else:
+                e_off += e; n_off += 1
+        assert e_on / max(1, n_on) > 3 * (e_off / max(1, n_off))
+
+    # MIDI files decode and stay within the 88-key range
+    m = load_midi(str(root / "2017" / "synth0004.wav").replace(".wav", ".midi"))
+    pitches = [n.pitch for i in m.instruments for n in i.notes]
+    assert pitches and all(21 <= p <= 108 for p in pitches)
