@@ -88,6 +88,11 @@ class ModelConfig:
     num_attention_heads: int = 8
     # AST-specific (reference models/transformer_model.py:33-45)
     remi_vocab_size: int = 512
+    # Token vocabulary: "remi" (models/remi_tokenizer.py) or "event"
+    # (models/event_tokenizer.py). Both share ids < 512 but their ranges
+    # MEAN different things — persisted here so checkpoints decode with the
+    # vocabulary they were trained on.
+    tokenizer: str = "remi"
     decoder_layers: int = 4
     decoder_dim: int = 384
     decoder_heads: int = 6

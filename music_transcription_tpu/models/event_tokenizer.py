@@ -147,29 +147,18 @@ class EventMIDITokenizer:
         Bridge for the AST training pipeline (same interface as
         REMITokenizer): roll row r maps to MIDI pitch MIN_MIDI + r.
         """
+        from music_transcription_tpu.data.midi import pianoroll_to_notes
+
         fr = self.frame_rate if frame_rate is None else float(frame_rate)
         pr = np.asarray(piano_roll, dtype=np.float32)
         if pr.ndim != 2:
             raise ValueError("piano_roll must be 2-D")
-        if pr.shape[0] == NUM_KEYS:
-            pr = pr.T  # -> (T, 88)
-        if pr.shape[1] != NUM_KEYS:
+        if pr.shape[1] == NUM_KEYS and pr.shape[0] != NUM_KEYS:
+            pr = pr.T  # (T, 88) -> (88, T)
+        if pr.shape[0] != NUM_KEYS:
             raise ValueError("piano_roll must have 88 pitches")
-        active = pr > 0.5
-        padded = np.zeros((active.shape[0] + 2, NUM_KEYS), dtype=bool)
-        padded[1:-1] = active
-        ons = padded[1:] & ~padded[:-1]   # (T+1, 88): onset at frame t
-        offs = ~padded[1:] & padded[:-1]  # offset entering frame t
-        notes = []
-        starts = {}
-        for t in range(ons.shape[0]):
-            for r in np.nonzero(ons[t])[0]:
-                starts[int(r)] = t
-            for r in np.nonzero(offs[t])[0]:
-                s = starts.pop(int(r), None)
-                if s is not None:
-                    notes.append((MIN_MIDI + int(r), s / fr, t / fr))
-        notes.sort(key=lambda x: (x[1], x[0]))
+        # canonical vectorized transition scan (roll row r <-> MIDI MIN_MIDI+r)
+        notes = pianoroll_to_notes(pr > 0.5, fs=fr)
         return self.encode_notes(notes, max_len=max_len)
 
     # --------------------------------------------------------------- decode
@@ -218,7 +207,11 @@ class EventMIDITokenizer:
         return midi
 
     def decode_to_pianoroll(self, tokens, max_t: int = 1024) -> np.ndarray:
-        """ids -> (88, t_cursor) roll (REMITokenizer-compatible bridge)."""
+        """ids -> (88, t) roll (REMITokenizer-compatible bridge).
+
+        Width covers the time cursor AND every decoded note's end frame
+        (hanging notes close one frame past the cursor), capped at max_t.
+        """
         notes = self.decode_to_notes(tokens)
         t_end = 0
         for tok in tokens:
@@ -227,6 +220,8 @@ class EventMIDITokenizer:
                 break
             if self.is_time_shift(tok):
                 t_end += self.tok_to_shift(tok)
+        for n in notes:
+            t_end = max(t_end, int(round(n.end * self.frame_rate)))
         t_end = min(int(t_end), max_t)
         pr = np.zeros((NUM_KEYS, t_end), dtype=np.float32)
         for n in notes:

@@ -120,11 +120,21 @@ class TranscriptionModel:
     def predict(self, variables, x, threshold: float = 0.5, **kwargs):
         """Binary (B, 88, T) piano roll (reference models/transcription_model.py:219-267)."""
         if self.config.is_ast:
-            from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
-
             max_t = kwargs.pop("max_T", 1024)  # tokenizer arg, not a model kwarg
             token_ids = self.apply(variables, x, train=False, **kwargs)  # (B, L)
-            tok = REMITokenizer(vocab_size=self.config.remi_vocab_size)
+            # decode with the vocabulary the checkpoint was trained on
+            # (cfg.tokenizer; event and remi ids overlap but mean different
+            # things — frame arithmetic is rate-independent either way)
+            if getattr(self.config, "tokenizer", "remi") == "event":
+                from music_transcription_tpu.models.event_tokenizer import (
+                    EventMIDITokenizer,
+                )
+
+                tok = EventMIDITokenizer(vocab_size=self.config.remi_vocab_size)
+            else:
+                from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+
+                tok = REMITokenizer(vocab_size=self.config.remi_vocab_size)
             import numpy as np
 
             rolls = [

@@ -161,6 +161,11 @@ def fused_conv_bn_relu(x, kernel, conv_bias, bn_scale, bn_bias, bn_mean, bn_var,
     kh, kw, _, c_out = kernel.shape
     hf = kh // 2
     t_pad = _tpad(t, kw)
+    if f % 2 or (pool and f % 4):
+        raise ValueError(
+            f"F={f} must be divisible by 2 (by 4 with pool) for the blocked "
+            f"frequency grid"
+        )
     if f_blk is None:
         f_blk = 8 if c_in <= 32 else 4
     while f % f_blk or (pool and f_blk % 2):
@@ -282,6 +287,11 @@ def fused_res_block(x, p, *, pool: bool = False, f_blk: int | None = None,
     assert has_skip or c_in == c_out
     t_pad = _tpad(t, 3)
 
+    if f % 2 or (pool and f % 4):
+        raise ValueError(
+            f"F={f} must be divisible by 2 (by 4 with pool) for the blocked "
+            f"frequency grid"
+        )
     if f_blk is None:  # largest block fitting the ~16 MB VMEM scope
         f_blk = 8
         while f_blk > 2 and _res_vmem_estimate(f_blk, t_pad, c_in, c_mid,

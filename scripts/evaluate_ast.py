@@ -37,10 +37,12 @@ def build_parser():
                    help="onset tolerance in seconds (ref example: 0.1)")
     p.add_argument("--pitch_tol", "--pitch-tol", type=float, default=0.5,
                    help="pitch tolerance in semitones (ref example: 0.5)")
-    p.add_argument("--tokenizer", type=str, default="remi",
+    p.add_argument("--tokenizer", type=str, default=None,
                    choices=["remi", "event"],
                    help="remi = pianoroll walk (models/remi_tokenizer.py), "
-                        "event = NOTE_ON/OFF/TIME_SHIFT (models/event_tokenizer.py)")
+                        "event = NOTE_ON/OFF/TIME_SHIFT (models/event_tokenizer.py); "
+                        "defaults to the checkpoint's trained vocabulary "
+                        "(config.json sidecar)")
     p.add_argument("--out_dir", "--out-dir", type=str, default=None,
                    help="write per-sample gen_<i>.mid / gt_<i>.mid here")
     p.add_argument("--midi_limit", type=int, default=8,
@@ -131,6 +133,16 @@ def main(argv=None):
                       jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32))
     variables = load_checkpoint(args.model, like={"params": like["params"]})
 
+    if args.tokenizer is None:
+        # decode with the vocabulary the checkpoint was trained on
+        args.tokenizer = getattr(model_cfg, "tokenizer", "remi")
+        print(f"Tokenizer: {args.tokenizer} (from checkpoint config)")
+    elif args.tokenizer != getattr(model_cfg, "tokenizer", "remi"):
+        print(f"Warning: --tokenizer {args.tokenizer} differs from the "
+              f"checkpoint's trained vocabulary "
+              f"({getattr(model_cfg, 'tokenizer', 'remi')}); decoded notes "
+              f"will be garbage unless you know better.")
+
     fr = audio_cfg.frame_rate
     if args.tokenizer == "event":
         tokenizer = EventMIDITokenizer(vocab_size=model_cfg.remi_vocab_size,
@@ -152,6 +164,10 @@ def main(argv=None):
                   "--tokenizer remi or point at a waveform cache.")
             return 1
     else:
+        if args.cache_dir:
+            print(f"Warning: no cache metadata at {args.cache_dir} for split "
+                  f"'{args.split}'; falling back to the raw dataset at "
+                  f"{args.root_dir}")
         dataset = MaestroDataset(
             args.root_dir, split=args.split,
             year=None if args.year in (None, "all") else args.year,

@@ -134,6 +134,10 @@ def main(argv=None):
                   "--tokenizer remi or a waveform cache.")
             return 1
     else:
+        if args.cache_dir:
+            print(f"Warning: no cache metadata at {args.cache_dir} for split "
+                  f"'{args.split}'; falling back to the raw dataset at "
+                  f"{args.root_dir}")
         dataset = MaestroDataset(
             args.root_dir, split=args.split,
             year=None if args.year in (None, "all") else args.year,
@@ -172,7 +176,7 @@ def main(argv=None):
         model_type="ast", dropout=args.dropout, remi_vocab_size=args.remi_vocab_size,
         decoder_layers=args.decoder_layers, decoder_dim=args.decoder_dim,
         decoder_heads=args.decoder_heads, use_mock_encoder=args.mock_encoder,
-        freeze_encoder=args.freeze_encoder,
+        freeze_encoder=args.freeze_encoder, tokenizer=args.tokenizer,
     )
     model = TranscriptionModel(model_cfg)
     sample_wave = jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32)

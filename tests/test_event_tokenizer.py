@@ -96,6 +96,30 @@ def test_encode_midi_and_roll_bridge():
     assert not roll[:, t:].any()
 
 
+def test_decode_to_pianoroll_keeps_trailing_hanging_note():
+    """A NOTE_ON at the final cursor (no trailing shift before <eos>) must
+    appear in the roll — width covers every note's end frame, not just the
+    time-shift sum."""
+    tok = EventMIDITokenizer(frame_rate=100)
+    ids = [tok.sos, tok.time_shift_id(10), tok.note_on_id(60), tok.eos]
+    roll = tok.decode_to_pianoroll(ids, max_t=64)
+    notes = tok.decode_to_notes(ids)
+    assert len(notes) == 1
+    assert roll.sum() == 1.0 and roll[60 - MIN_MIDI, 10] == 1.0
+
+
+def test_tokenizer_choice_persists_in_model_config():
+    """Checkpoints must record which vocabulary they were trained on
+    (remi/event ids overlap but mean different things)."""
+    from music_transcription_tpu.config import ModelConfig, config_to_dict
+
+    cfg = ModelConfig(model_type="ast", tokenizer="event")
+    d = config_to_dict(cfg)
+    assert d["tokenizer"] == "event"
+    assert ModelConfig(**d).tokenizer == "event"
+    assert ModelConfig().tokenizer == "remi"  # default
+
+
 def test_decode_never_crashes_on_arbitrary_ids():
     """Generation can emit ANY id < vocab_size (and callers may pass junk);
     decode must skip unknowns, never raise."""
