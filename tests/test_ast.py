@@ -138,3 +138,25 @@ def test_ast_train_step():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def test_predict_decodes_with_trained_tokenizer(ast_model):
+    """predict() must decode AST token output with the checkpoint's trained
+    vocabulary (cfg.tokenizer), not unconditionally REMI."""
+    model, variables = ast_model
+    wave = jnp.zeros((1, 3200), jnp.float32)
+
+    cfg_e = ModelConfig(model_type="ast", dropout=0.1, tokenizer="event", **TINY)
+    model_e = TranscriptionModel(cfg_e)
+    # same params (architecture identical); only decode differs
+    roll_e = model_e.predict(variables, wave, generate_max_len=16, max_T=64)
+    roll_r = model.predict(variables, wave, generate_max_len=16, max_T=64)
+    assert roll_e.shape[1] == 88 and roll_r.shape[1] == 88
+    # ids generated are identical; the two vocabularies must not decode to
+    # the same roll unless both happen to be empty
+    if float(roll_r.sum()) or float(roll_e.sum()):
+        same_t = min(roll_e.shape[-1], roll_r.shape[-1])
+        if roll_e[..., :same_t].shape == roll_r[..., :same_t].shape:
+            diff = float(np.abs(np.asarray(roll_e[..., :same_t]) -
+                                np.asarray(roll_r[..., :same_t])).sum())
+            assert diff > 0 or roll_e.shape != roll_r.shape
