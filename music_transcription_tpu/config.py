@@ -157,6 +157,13 @@ class TrainConfig:
     chunk_length: float = 30.0
     chunk_overlap: float = 0.0
     save_every: int = 5
+    # model_best save cadence: on val improvement, write at most every k
+    # epochs (1 = reference behavior). Early training improves every epoch;
+    # on hosts with slow device->host transfer the per-epoch best-saves can
+    # dominate wall time. With k>1, model_best lags the true best by at most
+    # k-1 epochs (the last improvement in a window is >= any skipped one,
+    # and an improvement on the final epoch always persists).
+    save_best_every: int = 1
     seed: int = 0
     max_nan_batches: int = 10  # abort after this many NaN/Inf losses
     # Parallelism: number of data-parallel shards; None -> all local devices.

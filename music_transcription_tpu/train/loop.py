@@ -281,6 +281,9 @@ def train_model(
 
     log_path = os.path.join(run_dir, "training_log.txt")
     best_val = float("inf")
+    best_saved_val = float("inf")
+    best_epoch = -1
+    last_best_save_epoch = -(10**9)
     history = {"train_loss": [], "val_loss": [], "step_losses": []}
     rng_impl = train_cfg.rng_impl
     if rng_impl == "auto":  # see TrainConfig.rng_impl
@@ -336,14 +339,31 @@ def train_model(
 
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
-            save("model_best", state, inference_only=True)
-            if verbose:
-                print(f"Saved new best model (val_loss={val_loss:.6f})")
+            best_epoch = epoch
+            # Cadence-limited best saves: with frequent improvements (early
+            # training) and slow device->host transfer, per-epoch saves can
+            # dominate wall time; save_best_every=k writes at most every k
+            # epochs (the latest improvement is >= any skipped one, since
+            # best_val is global). The final epoch's improvement always
+            # lands via the end-of-training check below.
+            cadence = getattr(train_cfg, "save_best_every", 1) or 1
+            if epoch - last_best_save_epoch >= cadence:
+                save("model_best", state, inference_only=True)
+                last_best_save_epoch = epoch
+                best_saved_val = val_loss
+                if verbose:
+                    print(f"Saved new best model (val_loss={val_loss:.6f})")
         if train_cfg.save_every and epoch % train_cfg.save_every == 0:
             save(f"model_epoch_{epoch}", state)
         if is_main:
             _plot_curves(run_dir, history["train_loss"], history["val_loss"],
                          history["step_losses"])
 
+    if best_val < best_saved_val and best_epoch == train_cfg.epochs:
+        # the run ended ON an improvement that the save_best_every cadence
+        # skipped — the current state IS that best state, so persist it
+        save("model_best", state, inference_only=True)
+        if verbose:
+            print(f"Saved new best model (val_loss={best_val:.6f})")
     save("model_final", state)
     return model, state, history

@@ -37,6 +37,10 @@ def build_parser():
     t.add_argument("--chunk_length", type=float, default=30.0)
     t.add_argument("--chunk_overlap", type=float, default=0.0)
     t.add_argument("--save_every", type=int, default=5)
+    t.add_argument("--save_best_every", type=int, default=1,
+                   help="write model_best at most every k epochs on val "
+                        "improvement (k>1 amortizes slow device->host "
+                        "checkpoint transfer; lag bounded at k-1 epochs)")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--num_workers", type=int, default=8)
     t.add_argument("--start_epoch", type=int, default=1,
@@ -176,6 +180,7 @@ def main(argv=None):
         chunk_length=args.chunk_length,
         chunk_overlap=args.chunk_overlap,
         save_every=args.save_every,
+        save_best_every=args.save_best_every,
         seed=args.seed,
         data_parallel=args.data_parallel,
         partitioning=args.partitioning,

@@ -57,6 +57,46 @@ def test_train_model_end_to_end(maestro_root, tmp_path):
     assert loaded.model.config.n_mels == 32
 
 
+def test_save_best_every_cadence(maestro_root, tmp_path, monkeypatch):
+    """save_best_every=3 writes model_best at most every 3 epochs while val
+    keeps improving, and a final-epoch improvement always persists."""
+    from music_transcription_tpu.train import checkpoints as ckpt_lib
+    from music_transcription_tpu.train import loop as loop_mod
+
+    saves = []
+    real_save = ckpt_lib.save_checkpoint
+
+    def spy(path, state, **kw):
+        saves.append(os.path.basename(str(path)))
+        return real_save(path, state, **kw)
+
+    monkeypatch.setattr(loop_mod.ckpt_lib, "save_checkpoint", spy)
+
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8,
+                       num_layers=1, dropout=0.0, compute_dtype="float32")
+    tcfg = TrainConfig(epochs=5, batch_size=2, learning_rate=1e-3,
+                       save_every=0, save_best_every=3, data_parallel=1,
+                       num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    val_set = MaestroDataset(maestro_root, split="validation", chunk_length=2.0, audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    train_loader = Loader(train_set, 2, shuffle=True, num_workers=0, drop_last=True, pad_to=pad_to)
+    val_loader = Loader(val_set, 1, num_workers=0, pad_to=pad_to)
+
+    train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=train_loader, val_loader=val_loader,
+        run_dir=str(tmp_path / "run"), verbose=False,
+    )
+    n_best = sum(1 for s in saves if s == "model_best")
+    # 5 epochs of (almost surely) monotone improvement at cadence 3:
+    # epoch 1 saves, epochs 2-3 skip, epoch 4 saves, epoch 5's improvement
+    # lands via the end-of-training check -> 2..3 best saves, never 5
+    assert 1 <= n_best <= 3, saves
+    assert "model_final" in saves
+    assert os.path.isdir(tmp_path / "run" / "checkpoints" / "model_best")
+
+
 def test_train_model_data_parallel_mesh(maestro_root, tmp_path):
     from music_transcription_tpu.parallel.mesh import make_mesh
 
