@@ -153,6 +153,10 @@ def main(argv=None):
             overrides[k] = v
     model_cfg = ModelConfig(**overrides) if overrides else None
     loaded = load_model(args.model, model_cfg=model_cfg)
+    if loaded.model.config.is_ast:
+        print("Error: this is an AST (token-route) checkpoint; framewise "
+              "evaluation needs frame logits. Use scripts/evaluate_ast.py.")
+        return 1
     audio_cfg = loaded.audio_cfg
     n_mels = loaded.model.config.n_mels
 
