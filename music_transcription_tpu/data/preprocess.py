@@ -140,13 +140,17 @@ def preprocess_split(
         _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
                            num_workers, stats, verbose)
     elif num_workers > 1:
-        from multiprocessing import Pool
+        # spawn, not fork: the parent has imported JAX (multithreaded) by the
+        # time the pool starts, and fork() of a multithreaded process can
+        # deadlock in the children. Workers rebuild their own dataset from
+        # pickled kwargs anyway (_WORKER_CACHE), so spawn costs only startup.
+        from multiprocessing import get_context
 
         args = [
             (i, ds_kwargs, split_dir, force, return_waveform or tokenize, tokenize, audio_cfg)
             for i in todo
         ]
-        with Pool(num_workers) as pool:
+        with get_context("spawn").Pool(num_workers) as pool:
             for ok, was_skipped in pool.imap_unordered(_host_worker, args):
                 stats["processed" if ok and not was_skipped else
                       "skipped" if ok else "failed"] += 1

@@ -43,8 +43,8 @@ def test_loss_ignores_pad(ast_model):
     import torch
 
     ref = torch.nn.CrossEntropyLoss(ignore_index=2)(
-        torch.from_numpy(np.asarray(logits, np.float32)).reshape(-1, 512),
-        torch.from_numpy(np.asarray(targets, np.int64)).reshape(-1),
+        torch.from_numpy(np.array(logits, np.float32)).reshape(-1, 512),
+        torch.from_numpy(np.array(targets, np.int64)).reshape(-1),
     )
     assert float(loss_full) == pytest.approx(float(ref), rel=1e-5)
 
