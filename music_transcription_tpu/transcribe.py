@@ -46,7 +46,12 @@ def load_model(checkpoint_path, model_cfg: ModelConfig | None = None,
     sidecar config.json) or a reference ``.pth`` (converted on the fly)
     (reference main.py:27-57)."""
     path = str(checkpoint_path)
-    sidecar = os.path.join(path, "config.json") if os.path.isdir(path) else None
+    if os.path.isdir(path):
+        sidecar = os.path.join(path, "config.json")
+    else:
+        # X.pth can carry its config as X.json (reference .pth files are
+        # bare weights; without a sidecar the shipped defaults apply)
+        sidecar = os.path.splitext(path)[0] + ".json"
     if sidecar and os.path.exists(sidecar) and (model_cfg is None or audio_cfg is None):
         with open(sidecar) as f:
             saved = json.load(f)

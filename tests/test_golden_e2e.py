@@ -46,6 +46,49 @@ def test_two_note_piece_exact(tmp_path):
         assert abs(n.end - e) <= 0.15, (n.pitch, n.end, e)
 
 
+def test_pth_round_trip_transcribes_identically(tmp_path):
+    """Export the demo checkpoint to reference .pth format, transcribe with
+    it via main.py's .pth loading path, and demand the same notes as the
+    orbax path — the converters sit in the golden loop."""
+    import json
+    import shutil
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from music_transcription_tpu.config import ModelConfig
+    from music_transcription_tpu.train.checkpoints import (
+        load_checkpoint,
+        save_torch_checkpoint,
+    )
+
+    cfg = json.load(open(os.path.join(CKPT, "config.json")))
+    mcfg = ModelConfig(**cfg["model"])
+    variables = load_checkpoint(CKPT)
+    pth = tmp_path / "demo.pth"
+    save_torch_checkpoint(str(pth), variables, mcfg)
+    # main.py needs the audio config when loading bare .pth: sidecar json
+    shutil.copy(os.path.join(CKPT, "config.json"), tmp_path / "demo.json")
+
+    root = make_maestro_root(tmp_path / "maestro")
+    ref_notes = _transcribe(os.path.join(root, "2017", "piece0.wav"),
+                            tmp_path / "ref.mid")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"),
+         os.path.join(root, "2017", "piece0.wav"), str(pth),
+         "-d", "cpu", "-t", "0.35", "-o", str(tmp_path / "pth.mid")],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    from music_transcription_tpu.data.midi import load_midi
+
+    pth_notes = load_midi(str(tmp_path / "pth.mid")).instruments[0].notes
+    assert [(n.pitch, n.start, n.end) for n in pth_notes] == \
+        [(n.pitch, n.start, n.end) for n in ref_notes]
+
+
 def test_long_note_across_chunks(tmp_path):
     """piece1 holds pitch 72 for 6 s over a 6.5 s file — three 2 s chunks;
     the batched-chunk path must stitch into (nearly) continuous coverage."""
