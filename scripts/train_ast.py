@@ -62,6 +62,8 @@ def build_parser():
                    help="token budget used by the sanity round-trip check")
     p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     p.add_argument("--run_dir", "--run-dir", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume params from (cold optimizer)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -181,6 +183,14 @@ def main(argv=None):
     model = TranscriptionModel(model_cfg)
     sample_wave = jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32)
     variables = model.init(jax.random.key(args.seed), sample_wave)
+    if args.resume:
+        from music_transcription_tpu.train.checkpoints import load_checkpoint
+
+        # weight-only resume (cold Adam moments — same semantics as the
+        # reference's .pth resume in train_cnn)
+        payload = load_checkpoint(args.resume, like={"params": variables["params"]})
+        variables = {**variables, "params": payload["params"]}
+        print(f"Resumed params from {args.resume}")
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables["params"])
 
