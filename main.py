@@ -7,7 +7,8 @@ Drop-in surface of the reference CLI (reference main.py:290-363):
 
 ``checkpoint`` is either a native orbax checkpoint directory (carries its
 model/audio config) or a reference-format ``.pth`` state_dict (converted on
-load; assumes the shipped cnn_rnn_large/n_mels=320 configuration, reference
+load; reads an ``X.json`` config sidecar beside ``X.pth`` when present,
+else assumes the shipped cnn_rnn_large/n_mels=320 configuration, reference
 main.py:16-24).
 """
 

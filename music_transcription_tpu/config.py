@@ -157,12 +157,13 @@ class TrainConfig:
     chunk_length: float = 30.0
     chunk_overlap: float = 0.0
     save_every: int = 5
-    # model_best save cadence: on val improvement, write at most every k
-    # epochs (1 = reference behavior). Early training improves every epoch;
-    # on hosts with slow device->host transfer the per-epoch best-saves can
-    # dominate wall time. With k>1, model_best lags the true best by at most
-    # k-1 epochs (the last improvement in a window is >= any skipped one,
-    # and an improvement on the final epoch always persists).
+    # model_best WRITE cadence: the loop always retains the true best state
+    # (device-resident copy, exact), but flushes it to disk at most every k
+    # epochs plus once at loop exit (clean end OR abort). Early training
+    # improves every epoch; on hosts with slow device->host transfer the
+    # per-epoch best-writes can dominate wall time (measured ~60 s/epoch vs
+    # 0.6 s compute). k=1 = reference per-improvement behavior. The only
+    # unsafe window is a hard kill (SIGKILL) between flushes.
     save_best_every: int = 1
     seed: int = 0
     max_nan_batches: int = 10  # abort after this many NaN/Inf losses
@@ -185,6 +186,14 @@ class TrainConfig:
     # Host input pipeline
     num_workers: int = 8
     prefetch_batches: int = 2
+
+    def __post_init__(self):
+        if self.save_best_every < 1:
+            raise ValueError(
+                f"save_best_every must be >= 1, got {self.save_best_every}"
+            )
+        if self.save_every < 0:
+            raise ValueError(f"save_every must be >= 0, got {self.save_every}")
 
 
 # ---------------------------------------------------------------------------

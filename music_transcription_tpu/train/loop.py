@@ -25,6 +25,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from music_transcription_tpu.config import (
@@ -281,9 +282,25 @@ def train_model(
 
     log_path = os.path.join(run_dir, "training_log.txt")
     best_val = float("inf")
-    best_saved_val = float("inf")
-    best_epoch = -1
-    last_best_save_epoch = -(10**9)
+    # Exact best-model retention with write batching: on every improvement
+    # the inference payload is device-copied (cheap, stays on device); the
+    # copy is flushed to disk at most every save_best_every epochs and once
+    # at loop exit — clean end or abort — so model_best always holds the
+    # true best and slow device->host links aren't hit per epoch.
+    pending_best = None
+    pending_best_val = float("inf")
+    flushed_best_val = float("inf")
+    last_best_flush_epoch = -(10**9)
+
+    def _flush_best():
+        nonlocal pending_best, flushed_best_val
+        if pending_best is not None and pending_best_val < flushed_best_val:
+            save("model_best", pending_best, inference_only=True)
+            flushed_best_val = pending_best_val
+            if verbose:
+                print(f"Saved new best model (val_loss={pending_best_val:.6f})")
+        pending_best = None
+
     history = {"train_loss": [], "val_loss": [], "step_losses": []}
     rng_impl = train_cfg.rng_impl
     if rng_impl == "auto":  # see TrainConfig.rng_impl
@@ -308,62 +325,57 @@ def train_model(
         if verbose:
             print(f"Wrote profiler trace ({profile_steps} steps) to {trace_dir}")
 
-    for epoch in range(start_epoch, train_cfg.epochs + 1):
-        if verbose:
-            print(f"\nEpoch {epoch}/{train_cfg.epochs}")
-        t0 = time.perf_counter()
-        state, train_loss, step_losses, nan_count = train_one_epoch(
-            step_fn, state, train_loader, rng, mesh=mesh,
-            max_nan=train_cfg.max_nan_batches, nan_count_start=nan_count, verbose=verbose,
-        )
-        epoch_time = time.perf_counter() - t0
-        val_loss = (
-            evaluate(eval_fn, state, val_loader, mesh=mesh) if val_loader is not None else None
-        )
+    try:
+        for epoch in range(start_epoch, train_cfg.epochs + 1):
+            if verbose:
+                print(f"\nEpoch {epoch}/{train_cfg.epochs}")
+            t0 = time.perf_counter()
+            state, train_loss, step_losses, nan_count = train_one_epoch(
+                step_fn, state, train_loader, rng, mesh=mesh,
+                max_nan=train_cfg.max_nan_batches, nan_count_start=nan_count, verbose=verbose,
+            )
+            epoch_time = time.perf_counter() - t0
+            val_loss = (
+                evaluate(eval_fn, state, val_loader, mesh=mesh) if val_loader is not None else None
+            )
 
-        history["train_loss"].append(train_loss)
-        history["step_losses"].append(step_losses)
-        if val_loss is not None:
-            history["val_loss"].append(val_loss)
+            history["train_loss"].append(train_loss)
+            history["step_losses"].append(step_losses)
+            if val_loss is not None:
+                history["val_loss"].append(val_loss)
 
-        line = (
-            f"epoch {epoch} train_loss={train_loss:.6f} "
-            f"val_loss={'-' if val_loss is None else f'{val_loss:.6f}'} "
-            f"time={epoch_time:.1f}s"
-        )
-        if verbose:
-            print(line)
-        if is_main:
-            with open(log_path, "a") as f:
-                f.write(line + "\n")
+            line = (
+                f"epoch {epoch} train_loss={train_loss:.6f} "
+                f"val_loss={'-' if val_loss is None else f'{val_loss:.6f}'} "
+                f"time={epoch_time:.1f}s"
+            )
+            if verbose:
+                print(line)
+            if is_main:
+                with open(log_path, "a") as f:
+                    f.write(line + "\n")
 
-        if val_loss is not None and val_loss < best_val:
-            best_val = val_loss
-            best_epoch = epoch
-            # Cadence-limited best saves: with frequent improvements (early
-            # training) and slow device->host transfer, per-epoch saves can
-            # dominate wall time; save_best_every=k writes at most every k
-            # epochs (the latest improvement is >= any skipped one, since
-            # best_val is global). The final epoch's improvement always
-            # lands via the end-of-training check below.
-            cadence = getattr(train_cfg, "save_best_every", 1) or 1
-            if epoch - last_best_save_epoch >= cadence:
-                save("model_best", state, inference_only=True)
-                last_best_save_epoch = epoch
-                best_saved_val = val_loss
-                if verbose:
-                    print(f"Saved new best model (val_loss={val_loss:.6f})")
-        if train_cfg.save_every and epoch % train_cfg.save_every == 0:
-            save(f"model_epoch_{epoch}", state)
-        if is_main:
-            _plot_curves(run_dir, history["train_loss"], history["val_loss"],
-                         history["step_losses"])
+            if val_loss is not None and val_loss < best_val:
+                best_val = val_loss
+                # device-copy BEFORE the next step donates this state; the
+                # flush below (cadenced) or the finally (on exit) writes it
+                pending_best = jax.tree.map(
+                    jnp.copy,
+                    {k: state[k] for k in ("params", "batch_stats", "step") if k in state},
+                )
+                pending_best_val = val_loss
+                if epoch - last_best_flush_epoch >= train_cfg.save_best_every:
+                    _flush_best()
+                    last_best_flush_epoch = epoch
+            if train_cfg.save_every and epoch % train_cfg.save_every == 0:
+                save(f"model_epoch_{epoch}", state)
+            if is_main:
+                _plot_curves(run_dir, history["train_loss"], history["val_loss"],
+                             history["step_losses"])
+    finally:
+        # clean end OR abort (NaN abort, Ctrl-C): the true best state is
+        # device-resident and must not be lost to the write cadence
+        _flush_best()
 
-    if best_val < best_saved_val and best_epoch == train_cfg.epochs:
-        # the run ended ON an improvement that the save_best_every cadence
-        # skipped — the current state IS that best state, so persist it
-        save("model_best", state, inference_only=True)
-        if verbose:
-            print(f"Saved new best model (val_loss={best_val:.6f})")
     save("model_final", state)
     return model, state, history

@@ -53,12 +53,17 @@ def load_model(checkpoint_path, model_cfg: ModelConfig | None = None,
         # bare weights; without a sidecar the shipped defaults apply)
         sidecar = os.path.splitext(path)[0] + ".json"
     if sidecar and os.path.exists(sidecar) and (model_cfg is None or audio_cfg is None):
-        with open(sidecar) as f:
-            saved = json.load(f)
-        if model_cfg is None and "model" in saved:
-            model_cfg = config_from_dict(ModelConfig, saved["model"])
-        if audio_cfg is None and "audio" in saved:
-            audio_cfg = config_from_dict(AudioConfig, saved["audio"])
+        try:
+            with open(sidecar) as f:
+                saved = json.load(f)
+            if not isinstance(saved, dict):
+                raise ValueError(f"expected a JSON object, got {type(saved).__name__}")
+            if model_cfg is None and isinstance(saved.get("model"), dict):
+                model_cfg = config_from_dict(ModelConfig, saved["model"])
+            if audio_cfg is None and isinstance(saved.get("audio"), dict):
+                audio_cfg = config_from_dict(AudioConfig, saved["audio"])
+        except Exception as e:  # an unrelated X.json must not break X.pth loads
+            print(f"Warning: ignoring config sidecar {sidecar}: {e}")
     if model_cfg is None:
         model_cfg = ModelConfig()  # shipped defaults (reference main.py:16-20)
     if audio_cfg is None:

@@ -14,6 +14,7 @@ scripts/evaluate.py:524-553).
 """
 
 import argparse
+import json
 import os
 import subprocess
 import sys
@@ -152,6 +153,18 @@ def main(argv=None):
         if v is not None:
             overrides[k] = v
     model_cfg = ModelConfig(**overrides) if overrides else None
+    # Reject AST checkpoints by reading the sidecar directly: CLI overrides
+    # would otherwise mask the checkpoint's true model_type in loaded.config.
+    sidecar_path = os.path.join(args.model, "config.json")
+    if os.path.isfile(sidecar_path):
+        try:
+            saved_type = json.load(open(sidecar_path)).get("model", {}).get("model_type")
+        except Exception:
+            saved_type = None
+        if saved_type == "ast":
+            print("Error: this is an AST (token-route) checkpoint; framewise "
+                  "evaluation needs frame logits. Use scripts/evaluate_ast.py.")
+            return 1
     loaded = load_model(args.model, model_cfg=model_cfg)
     if loaded.model.config.is_ast:
         print("Error: this is an AST (token-route) checkpoint; framewise "

@@ -90,11 +90,63 @@ def test_save_best_every_cadence(maestro_root, tmp_path, monkeypatch):
     )
     n_best = sum(1 for s in saves if s == "model_best")
     # 5 epochs of (almost surely) monotone improvement at cadence 3:
-    # epoch 1 saves, epochs 2-3 skip, epoch 4 saves, epoch 5's improvement
-    # lands via the end-of-training check -> 2..3 best saves, never 5
+    # epoch 1 flushes, epochs 2-3 retain on device, epoch 4 flushes, epoch
+    # 5's improvement lands via the exit flush -> 2..3 best saves, never 5
     assert 1 <= n_best <= 3, saves
     assert "model_final" in saves
     assert os.path.isdir(tmp_path / "run" / "checkpoints" / "model_best")
+
+
+def test_best_flushed_on_abort(maestro_root, tmp_path, monkeypatch):
+    """An abort mid-run (NaN abort / Ctrl-C) must not lose cadence-retained
+    best improvements: the exit flush writes the device-resident best."""
+    from music_transcription_tpu.train import loop as loop_mod
+
+    saves = []
+    real_save = loop_mod.ckpt_lib.save_checkpoint
+
+    def spy(path, state, **kw):
+        saves.append(os.path.basename(str(path)))
+        return real_save(path, state, **kw)
+
+    monkeypatch.setattr(loop_mod.ckpt_lib, "save_checkpoint", spy)
+
+    real_epoch = loop_mod.train_one_epoch
+    calls = {"n": 0}
+
+    def bomb(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # epochs 1-2 run; epoch 3 aborts
+            raise loop_mod.TrainingUnstableError("boom")
+        return real_epoch(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "train_one_epoch", bomb)
+
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8,
+                       num_layers=1, dropout=0.0, compute_dtype="float32")
+    tcfg = TrainConfig(epochs=10, batch_size=2, learning_rate=1e-3,
+                       save_every=0, save_best_every=100, data_parallel=1,
+                       num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    val_set = MaestroDataset(maestro_root, split="validation", chunk_length=2.0, audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    train_loader = Loader(train_set, 2, shuffle=True, num_workers=0, drop_last=True, pad_to=pad_to)
+    val_loader = Loader(val_set, 1, num_workers=0, pad_to=pad_to)
+
+    import pytest as _pytest
+
+    with _pytest.raises(loop_mod.TrainingUnstableError):
+        train_model(
+            model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+            train_loader=train_loader, val_loader=val_loader,
+            run_dir=str(tmp_path / "run"), verbose=False,
+        )
+    # cadence 100 means no in-loop flush happened; the finally must have
+    # written the epoch-1-or-2 improvement (epoch 1 flushes immediately due
+    # to the initial cadence window; the later retained one lands on exit)
+    assert "model_best" in saves
+    assert os.path.isdir(tmp_path / "run" / "checkpoints" / "model_best")
+    assert "model_final" not in saves  # aborted runs have no final
 
 
 def test_train_model_data_parallel_mesh(maestro_root, tmp_path):
