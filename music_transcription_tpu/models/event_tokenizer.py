@@ -140,7 +140,7 @@ class EventMIDITokenizer:
         ]
         return self.encode_notes(notes, max_len=max_len)
 
-    def encode_from_pianoroll(self, piano_roll, frame_rate: int | None = None,
+    def encode_from_pianoroll(self, piano_roll, frame_rate: float | None = None,
                               max_len: int = 512) -> list[int]:
         """(88, T) or (T, 88) roll -> ids, via roll-transition note events.
 
