@@ -1,16 +1,31 @@
 #!/usr/bin/env python
 """Generate a synthetic MAESTRO-layout dataset (WAV + MIDI + CSV).
 
-Random polyphonic "pieces" — overlapping notes across the 88-key range,
-rendered as decaying harmonic tones — written in the exact MAESTRO-v3 tree
-shape (year dirs, maestro-v3.0.0.csv), so every CLI in this repo (preprocess,
+Random polyphonic "pieces" written in the exact MAESTRO-v3 tree shape
+(year dirs, maestro-v3.0.0.csv), so every CLI in this repo (preprocess,
 train, evaluate, main.py) runs on it unchanged. Uses:
 
   * install smoke test / demo without the 120 GB MAESTRO download
   * full-scale hardware validation: the 89M flagship trained on this through
-    the real CLI chain reaches framewise F1 ~0.95 on its train set (round-1
-    v5e run, README.md) — regenerate with this script
+    the real CLI chain (regenerate with this script)
   * AST-tier experiments on non-trivial polyphony
+
+v2 realism (what MAESTRO training targets actually depend on):
+
+  * CC64 sustain-pedal spans. While the pedal is held, a released key keeps
+    sounding until the pedal-off — and the frame *targets* extend the same
+    way (running-max under pedal, pretty_midi semantics: reference
+    data/dataset.py:141-146 via get_piano_roll(pedal_threshold=64),
+    reimplemented in music_transcription_tpu/data/midi.py). The renderer
+    sustains the audio to the pedal release so audio and targets agree.
+  * velocity-dependent timbre: loud notes are brighter (flatter harmonic
+    rolloff) and decay faster; amplitude is nonlinear in velocity.
+  * two-stage decay (fast strike + slow ring, pitch-dependent rates) so
+    pedal-extended tails remain audible, like real piano strings.
+  * inharmonicity (stiff-string partial stretch) and per-piece brightness/
+    decay variation, hammer-noise transients, low noise floor.
+  * gesture structure: single notes, chords, fast runs, and re-struck notes
+    under pedal — dense polyphony bursts instead of a uniform Poisson rain.
 
     python scripts/make_synthetic_dataset.py --out synth_root \\
         --pieces 40 --duration 60 --seed 0
@@ -38,54 +53,210 @@ def build_parser():
                    help="seconds per piece")
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--max_polyphony", type=int, default=6)
-    p.add_argument("--notes_per_second", type=float, default=2.0)
+    p.add_argument("--max_polyphony", type=int, default=10,
+                   help="cap on simultaneously *sounding* notes (pedal included)")
+    p.add_argument("--notes_per_second", type=float, default=3.0,
+                   help="average note density (gestures expand to more notes)")
+    p.add_argument("--pedal_coverage", type=float, default=0.45,
+                   help="fraction of each piece under sustain pedal (0 = v1 "
+                        "behaviour: no CC64 events)")
     p.add_argument("--val_fraction", type=float, default=0.15)
     p.add_argument("--test_fraction", type=float, default=0.15)
     return p
 
 
-def random_piece(rng, duration, notes_per_second, max_polyphony):
-    """Random note list: Poisson-ish onsets, bounded polyphony, 88-key range."""
-    n_notes = max(1, int(duration * notes_per_second))
-    onsets = np.sort(rng.uniform(0.0, duration - 0.3, n_notes))
-    notes = []
-    for on in onsets:
-        active = sum(1 for n in notes if n.start <= on < n.end)
-        if active >= max_polyphony:
-            continue
-        pitch = int(rng.integers(MIN_MIDI, MIN_MIDI + NUM_KEYS))
-        length = float(rng.uniform(0.15, 2.5))
-        off = min(on + length, duration)
-        vel = int(rng.integers(50, 112))
-        notes.append(midi_io.Note(pitch=pitch, start=float(on), end=off, velocity=vel))
-    return notes
+# ---------------------------------------------------------------------------
+# Pedal spans
+# ---------------------------------------------------------------------------
 
 
-def render(notes, duration, sr, rng):
-    """Decaying harmonic tones (fundamental + 3 harmonics + slight detune)."""
+def random_pedal_spans(rng, duration, coverage):
+    """Press/release spans covering ~``coverage`` of the piece.
+
+    Mix of long holds and quick legato re-pedaling (short gaps), the two
+    patterns real performances show. Every span is closed — an unmatched
+    pedal-on is dropped by the target builder (pretty_midi parity,
+    data/midi.py:_instrument_roll), which would silently desync audio and
+    targets.
+    """
+    if coverage <= 0 or duration < 2.0:
+        return []
+    spans = []
+    t = float(rng.uniform(0.0, 2.0))
+    # hold/gap ratio tuned so expected coverage ~= requested coverage
+    mean_hold = 2.4
+    mean_gap = mean_hold * (1.0 - coverage) / max(coverage, 1e-3)
+    while t < duration - 0.5:
+        hold = float(rng.uniform(0.6, 2 * mean_hold - 0.6))
+        off = min(t + hold, duration - 0.05)
+        if off - t > 0.1:
+            spans.append((t, off))
+        if rng.random() < 0.35:  # legato re-pedal: near-immediate re-press
+            gap = float(rng.uniform(0.04, 0.25))
+        else:
+            gap = float(rng.uniform(0.3, max(0.4, 2 * mean_gap)))
+        t = off + gap
+    return spans
+
+
+def pedal_extended_end(end, spans):
+    """Sounding end of a note released at ``end``: the enclosing pedal span's
+    release (the dampers are up), else the key release itself. Mirrors the
+    running-max extension the target roll applies."""
+    for on, off in spans:
+        if on <= end < off:
+            return off
+    return end
+
+
+# ---------------------------------------------------------------------------
+# Note generation (gestures: singles, chords, runs, re-strikes)
+# ---------------------------------------------------------------------------
+
+_CHORD_INTERVALS = ([0, 4, 7], [0, 3, 7], [0, 4, 7, 12], [0, 3, 7, 12],
+                    [0, 5, 7], [0, 4, 7, 11], [0, 3, 6, 9], [0, 7, 12, 16])
+
+
+def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans):
+    """Gesture-structured note list with bounded *sounding* polyphony."""
+    notes = []  # (Note, sounding_end)
+    t = float(rng.uniform(0.05, 0.5))
+    target_notes = duration * notes_per_second
+
+    def sounding(at):
+        return sum(1 for _, se in notes if _.start <= at < se)
+
+    def add(pitch, on, length, vel):
+        pitch = int(np.clip(pitch, MIN_MIDI, MIN_MIDI + NUM_KEYS - 1))
+        off = min(on + length, duration - 0.02)
+        if off <= on or sounding(on) >= max_polyphony:
+            return
+        n = midi_io.Note(pitch=pitch, start=float(on), end=float(off),
+                         velocity=int(np.clip(vel, 25, 120)))
+        notes.append((n, pedal_extended_end(n.end, pedal_spans)))
+
+    while t < duration - 0.4 and len(notes) < target_notes * 1.5:
+        r = rng.random()
+        base = int(rng.integers(MIN_MIDI, MIN_MIDI + NUM_KEYS))
+        vel = int(rng.normal(72, 22))
+        under_pedal = any(on <= t < off for on, off in pedal_spans)
+        ringing = [n for n, se in notes if n.end <= t < se]
+        if r < 0.15 and under_pedal and ringing:
+            # re-strike a still-ringing (pedal-held) pitch — the hard case
+            # for the running-max target semantics
+            n0 = ringing[int(rng.integers(len(ringing)))]
+            add(n0.pitch, t, float(rng.uniform(0.15, 1.2)),
+                n0.velocity + int(rng.normal(0, 12)))
+            t += float(rng.uniform(0.08, 0.5))
+        elif r < 0.40:
+            # chord: near-simultaneous onsets (few-ms strum)
+            iv = _CHORD_INTERVALS[int(rng.integers(len(_CHORD_INTERVALS)))]
+            length = float(rng.uniform(0.3, 2.5))
+            for k, semi in enumerate(iv):
+                add(base + semi, t + k * float(rng.uniform(0.0, 0.012)),
+                    length * float(rng.uniform(0.85, 1.0)),
+                    vel + int(rng.normal(0, 8)))
+            t += float(rng.uniform(0.25, 1.2))
+        elif r < 0.60:
+            # run: fast stepwise scale fragment
+            step = int(rng.choice([-2, -1, 1, 2]))
+            count = int(rng.integers(4, 11))
+            ioi = float(rng.uniform(0.06, 0.15))
+            for k in range(count):
+                add(base + k * step, t + k * ioi,
+                    float(rng.uniform(0.08, 0.35)), vel + int(rng.normal(0, 6)))
+            t += count * ioi + float(rng.uniform(0.05, 0.4))
+        else:
+            add(base, t, float(rng.uniform(0.12, 2.8)), vel)
+            t += float(rng.uniform(0.8, 2.0)) / max(notes_per_second, 0.5)
+    return [n for n, _ in sorted(notes, key=lambda p: p[0].start)]
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+
+def render(notes, duration, sr, rng, pedal_spans=()):
+    """Stiff-string additive synthesis with velocity-dependent timbre.
+
+    Each note sounds until its pedal-extended end (dampers up while CC64 is
+    held), then a short damper fade. Louder notes are brighter (smaller
+    harmonic rolloff exponent) with a sharper hammer transient; decay is
+    two-stage (fast strike + slow ring) so sustained tails stay audible.
+    """
     t_total = int(duration * sr)
     y = np.zeros(t_total, np.float32)
+    # per-piece "instrument": global brightness/decay character
+    bright_g = float(rng.uniform(0.85, 1.2))
+    decay_g = float(rng.uniform(0.8, 1.25))
     for n in notes:
         f0 = 440.0 * 2 ** ((n.pitch - 69) / 12)
-        i0, i1 = int(n.start * sr), min(int(n.end * sr), t_total)
+        sound_end = pedal_extended_end(n.end, pedal_spans)
+        fade = 0.03  # damper fall
+        i0 = int(n.start * sr)
+        i1 = min(int((sound_end + fade) * sr), t_total)
         if i1 <= i0:
             continue
         t = np.arange(i1 - i0, dtype=np.float32) / sr
-        env = np.exp(-t * 1.5).astype(np.float32)
-        env[: min(80, len(env))] *= np.linspace(0, 1, min(80, len(env)),
-                                                dtype=np.float32)  # click-free attack
-        amp = 0.25 * (n.velocity / 127.0)
+        v = n.velocity / 127.0
+        key = (n.pitch - MIN_MIDI) / (NUM_KEYS - 1)  # 0 = low A, 1 = top C
+        # two-stage decay: strike transient + slow ring (both pitch-dependent)
+        k_fast = decay_g * (2.0 + 6.0 * key + 1.5 * v)
+        k_slow = decay_g * (0.25 + 1.1 * key)
+        env = (0.75 * np.exp(-k_fast * t) + 0.25 * np.exp(-k_slow * t)
+               ).astype(np.float32)
+        atk = min(int(0.005 * sr), len(env))
+        env[:atk] *= np.linspace(0, 1, atk, dtype=np.float32)  # click-free
+        # damper fade after the sounding end
+        rel = int((sound_end - n.start) * sr)
+        if 0 < rel < len(env):
+            tail = len(env) - rel
+            env[rel:] *= np.linspace(1, 0, tail, dtype=np.float32)
+        amp = 0.22 * v ** 1.5
+        # brightness: harmonic rolloff exponent shrinks with velocity
+        p_roll = (2.3 - 1.2 * v) / bright_g
+        B = 3e-4 * (1 + 4 * (1 - key) ** 2)  # inharmonicity, worst in bass
         seg = np.zeros_like(t)
-        for h, w in ((1, 1.0), (2, 0.5), (3, 0.25), (4, 0.12)):
-            fh = f0 * h * (1 + rng.normal(0, 1e-4))
-            if fh < sr / 2:
-                seg += w * np.sin(2 * np.pi * fh * t).astype(np.float32)
+        for h in range(1, 9):
+            fh = f0 * h * np.sqrt(1 + B * h * h) * (1 + rng.normal(0, 8e-5))
+            if fh >= sr / 2:
+                break
+            w = h ** (-p_roll)
+            seg += w * np.sin(2 * np.pi * fh * t
+                              + float(rng.uniform(0, 2 * np.pi))
+                              ).astype(np.float32)
+        # hammer noise transient, brighter/louder with velocity
+        nh = min(int(0.012 * sr), len(seg))
+        if nh > 2:
+            burst = np.diff(rng.normal(0, 1, nh + 1)).astype(np.float32)
+            seg[:nh] += 0.4 * v * burst * np.linspace(1, 0, nh,
+                                                      dtype=np.float32)
         y[i0:i1] += amp * env * seg
+    # room-ish noise floor
+    y += rng.normal(0, 3e-4, t_total).astype(np.float32)
     peak = np.abs(y).max()
     if peak > 0.98:
         y *= 0.98 / peak
     return y
+
+
+def pedal_control_changes(spans, rng):
+    """CC64 events for press/release spans (+ in-hold jitter above the
+    threshold, which the target builder must ignore — transition semantics)."""
+    ccs = []
+    for on, off in spans:
+        ccs.append(midi_io.ControlChange(number=64,
+                                         value=int(rng.integers(80, 128)),
+                                         time=float(on)))
+        if off - on > 1.0 and rng.random() < 0.5:
+            ccs.append(midi_io.ControlChange(
+                number=64, value=int(rng.integers(70, 128)),
+                time=float(rng.uniform(on + 0.2, off - 0.2))))
+        ccs.append(midi_io.ControlChange(number=64,
+                                         value=int(rng.integers(0, 40)),
+                                         time=float(off)))
+    return sorted(ccs, key=lambda c: c.time)
 
 
 def write_wav(path, y, sr):
@@ -110,15 +281,18 @@ def main(argv=None):
         split = ("test" if i < n_test
                  else "validation" if i < n_test + n_val else "train")
         year = 2017 if split == "train" else 2018
+        spans = random_pedal_spans(rng, args.duration, args.pedal_coverage)
         notes = random_piece(rng, args.duration, args.notes_per_second,
-                             args.max_polyphony)
+                             args.max_polyphony, spans)
         rel_wav = f"{year}/synth{i:04d}.wav"
         rel_mid = f"{year}/synth{i:04d}.midi"
         write_wav(os.path.join(args.out, rel_wav),
-                  render(notes, args.duration, args.sr, rng), args.sr)
+                  render(notes, args.duration, args.sr, rng, spans), args.sr)
+        mid = midi_io.notes_to_midi(notes)
+        mid.instruments[0].control_changes = pedal_control_changes(spans, rng)
         mid_path = os.path.join(args.out, rel_mid)
         os.makedirs(os.path.dirname(mid_path), exist_ok=True)
-        midi_io.save_midi(midi_io.notes_to_midi(notes), mid_path)
+        midi_io.save_midi(mid, mid_path)
         rows.append({
             "canonical_composer": "Synthetic",
             "canonical_title": f"Synth {i}",
@@ -128,7 +302,8 @@ def main(argv=None):
             "audio_filename": rel_wav,
             "duration": args.duration,
         })
-        print(f"[{i + 1}/{args.pieces}] {split} {rel_wav} ({len(notes)} notes)")
+        print(f"[{i + 1}/{args.pieces}] {split} {rel_wav} "
+              f"({len(notes)} notes, {len(spans)} pedal spans)")
     pd.DataFrame(rows).to_csv(os.path.join(args.out, "maestro-v3.0.0.csv"),
                               index=False)
     counts = {s: sum(1 for r in rows if r["split"] == s)

@@ -53,3 +53,38 @@ def test_generate_load_and_alignment(tmp_path):
     m = load_midi(str(root / "2017" / "synth0004.wav").replace(".wav", ".midi"))
     pitches = [n.pitch for i in m.instruments for n in i.notes]
     assert pitches and all(21 <= p <= 108 for p in pitches)
+
+
+def test_pedal_extension_is_load_bearing(tmp_path):
+    """v2 corpora emit CC64 spans, the targets extend under them, and the
+    rendered audio keeps sounding through the extension (so a model can
+    actually learn the pedal-extended MAESTRO target semantics)."""
+    from make_synthetic_dataset import main
+
+    root = tmp_path / "synth"
+    assert main(["--out", str(root), "--pieces", "3", "--duration", "20",
+                 "--seed", "7"]) == 0
+    m = load_midi(str(root / "2017" / "synth0002.midi"))
+    ccs = [c for c in m.instruments[0].control_changes if c.number == 64]
+    assert len(ccs) >= 4, "expected press/release CC64 spans"
+    assert any(c.value >= 64 for c in ccs) and any(c.value < 64 for c in ccs)
+
+    r_ped = m.piano_roll(fs=100)
+    r_nop = m.piano_roll(fs=100, pedal_threshold=None)
+    ext = (r_ped > 0) & (r_nop == 0)
+    assert ext.sum() > 100, "pedal should extend a substantial frame count"
+
+    import wave as wave_mod
+    with wave_mod.open(str(root / "2017" / "synth0002.wav")) as w:
+        y = (np.frombuffer(w.readframes(w.getnframes()), "<i2")
+             .astype(np.float32) / 32767)
+    sr = 16000
+    act, extd = (r_ped > 0).any(axis=0), ext.any(axis=0)
+
+    def energy(mask):
+        es = [float((y[int(t / 100 * sr): int((t + 1) / 100 * sr)] ** 2).mean())
+              for t in np.where(mask)[0] if int((t + 1) / 100 * sr) <= len(y)]
+        return float(np.mean(es)) if es else 0.0
+
+    # extended (key-up, pedal-down) frames must ring well above silence
+    assert energy(extd) > 20 * energy(~act)
