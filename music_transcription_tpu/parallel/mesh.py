@@ -18,11 +18,33 @@ driver's multi-chip dry-run validate the sharding without TPU hardware.
 
 from __future__ import annotations
 
+import inspect
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def positional_arity(fn) -> int:
+    """Positional parameter count of ``fn``.
+
+    Signature-based, so ``functools.partial`` and wrapped callables resolve
+    to their *remaining* arity (``__code__.co_argcount`` would not). Raises
+    for ``*args`` signatures, where the caller must pass ``n_args``
+    explicitly.
+    """
+    sig = inspect.signature(fn)
+    n = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            n += 1
+        elif p.kind is p.VAR_POSITIONAL:
+            raise TypeError(
+                f"{fn!r} takes *args; pass n_args explicitly to the jit wrapper"
+            )
+    return n
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:

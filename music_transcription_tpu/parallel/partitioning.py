@@ -31,7 +31,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from music_transcription_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from music_transcription_tpu.parallel.mesh import DATA_AXIS, batch_sharding, positional_arity
 
 MODEL_AXIS = "model"
 
@@ -159,7 +159,7 @@ def jit_partitioned(fn, mesh: Mesh, shardings, *, donate_state: bool = True,
     rep = NamedSharding(mesh, P())
     shard = batch_sharding(mesh)
     if n_args is None:
-        n_args = fn.__code__.co_argcount
+        n_args = positional_arity(fn)
     in_shardings = tuple(
         shardings if i == state_arg else (shard if i == batch_arg else rep)
         for i in range(n_args)

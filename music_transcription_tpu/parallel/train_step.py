@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from music_transcription_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
+from music_transcription_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    positional_arity,
+    replicated_sharding,
+)
 
 
 def init_train_state(model, tx, rng, sample_input) -> dict:
@@ -218,7 +223,7 @@ def jit_data_parallel(fn, mesh, *, donate_state: bool = True, state_arg: int = 0
     rep = replicated_sharding(mesh)
     shard = batch_sharding(mesh)
     if n_args is None:
-        n_args = fn.__code__.co_argcount
+        n_args = positional_arity(fn)
     in_shardings = []
     for i in range(n_args):
         if i == batch_arg:

@@ -180,3 +180,28 @@ def test_shardmap_step_matches_jit_data_parallel():
     # grads are cancellation noise)
     for a, b in zip(jax.tree.leaves(s1["params"]), jax.tree.leaves(s2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_jit_data_parallel_accepts_partial_wrapped_step():
+    """Arity detection must see through functools.partial (VERDICT r2:
+    __code__.co_argcount broke on wrapped steps)."""
+    from functools import partial
+
+    model, tx, state, batch = _setup(batch=8)
+    base = make_train_step(model, tx)
+    wrapped = partial(base)  # same 3 remaining positional args
+    mesh = make_mesh(8)
+    step = jit_data_parallel(wrapped, mesh)
+    s, metrics = step(replicate(state, mesh),
+                      tuple(shard_batch(np.asarray(b), mesh) for b in batch),
+                      jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    def star_step(*args):
+        return base(*args)
+
+    try:
+        jit_data_parallel(star_step, mesh)
+        raise AssertionError("expected TypeError for *args signature")
+    except TypeError:
+        pass
