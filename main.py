@@ -39,6 +39,13 @@ def main():
     parser.add_argument(
         "-t", "--threshold", type=float, default=0.5, help="Note prediction threshold"
     )
+    parser.add_argument(
+        "-w", "--window", type=float, default=None,
+        help="Inference window in seconds (default: the checkpoint's chunk "
+             "length, 30 s). Long windows (e.g. 120) run as one jitted "
+             "program with flash attention — more temporal context per "
+             "prediction, fewer chunk seams.",
+    )
     args = parser.parse_args()
 
     if args.device:
@@ -65,7 +72,8 @@ def main():
 
     try:
         output_path = transcribe_audio(
-            args.audio_file, args.model_file, args.output, threshold=args.threshold
+            args.audio_file, args.model_file, args.output,
+            threshold=args.threshold, window=args.window,
         )
         print("=" * 60)
         print("Transcription completed successfully!")

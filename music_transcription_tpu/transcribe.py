@@ -175,7 +175,8 @@ class Transcriber:
     pipeline is shape-stable across files)."""
 
     def __init__(self, checkpoint_path, model_cfg=None, audio_cfg=None, mesh=None,
-                 threshold: float = 0.5, use_pallas_lstm: bool | None = None):
+                 threshold: float = 0.5, use_pallas_lstm: bool | None = None,
+                 window: float | None = None):
         import dataclasses
 
         if use_pallas_lstm is None:
@@ -184,13 +185,37 @@ class Transcriber:
             # pallas_call never needs an SPMD partitioning rule.
             use_pallas_lstm = jax.devices()[0].platform != "cpu"
         loaded = load_model(checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg)
-        if use_pallas_lstm and not loaded.model.config.is_ast:
-            # attention stays on XLA: measured faster at T=938 (bench.py note)
-            cfg = dataclasses.replace(loaded.model.config, lstm_backend="pallas")
+        if window is not None:
+            # Long-window mode: one jitted program over a larger T (e.g.
+            # --window 120 -> T=3750 at the shipped geometry). The CNN/LSTM/
+            # attention stacks are time-size-agnostic, so the checkpoint
+            # weights apply unchanged; attention flips to the flash kernel
+            # via the "auto" backend once the score tensor outgrows HBM
+            # headroom (MultiHeadSelfAttention.auto_score_bytes).
+            if loaded.model.config.is_ast:
+                raise ValueError(
+                    "--window applies to CNN-RNN checkpoints; the AST tier "
+                    "generates per trained chunk length"
+                )
             loaded = LoadedModel(
-                model=TranscriptionModel(cfg), variables=loaded.variables,
-                audio_cfg=loaded.audio_cfg,
+                model=loaded.model, variables=loaded.variables,
+                audio_cfg=dataclasses.replace(loaded.audio_cfg,
+                                              chunk_length=float(window)),
             )
+        if not loaded.model.config.is_ast:
+            updates = {}
+            if use_pallas_lstm:
+                updates["lstm_backend"] = "pallas"
+            # "auto" == xla at the default 30 s window (measured faster at
+            # T=938, bench.py note); flash engages for long windows
+            if loaded.model.config.attention_backend != "pallas":
+                updates["attention_backend"] = "auto"
+            if updates:
+                cfg = dataclasses.replace(loaded.model.config, **updates)
+                loaded = LoadedModel(
+                    model=TranscriptionModel(cfg), variables=loaded.variables,
+                    audio_cfg=loaded.audio_cfg,
+                )
         self.loaded = loaded
         self.mesh = mesh
         self.threshold = threshold
@@ -230,6 +255,7 @@ def transcribe_audio(
     audio_cfg: AudioConfig | None = None,
     mesh=None,
     verbose: bool = True,
+    window: float | None = None,
 ):
     """Full pipeline (reference main.py:229-287). Returns the MIDI path."""
 
@@ -241,7 +267,7 @@ def transcribe_audio(
     # TPU, scan elsewhere) and carries the loaded model state.
     server = Transcriber(
         checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg,
-        mesh=mesh, threshold=threshold,
+        mesh=mesh, threshold=threshold, window=window,
     )
     loaded = server.loaded
     acfg = loaded.audio_cfg

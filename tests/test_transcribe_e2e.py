@@ -152,3 +152,58 @@ def test_serve_cli_watch_once_and_stdin(tiny_checkpoint, tmp_path):
     )
     assert proc2.returncode == 0, proc2.stdout + proc2.stderr
     assert "song0.mid" in proc2.stdout
+
+
+def test_window_mode_overrides_chunk_length(tmp_path):
+    """--window: one long jitted program instead of many 2 s chunks, with
+    attention_backend flipped to "auto" (flash engages past the measured
+    score-HBM crossover). Decoded notes from the trained demo checkpoint
+    must agree with the chunked path up to seam effects (same weights, more
+    context — compare decoded notes, not logits)."""
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "assets", "demo_checkpoint")
+    root = make_maestro_root(tmp_path / "maestro")
+    wav = os.path.join(root, "2017", "piece1.wav")  # pitch 72 held 6 s / 6.5 s
+
+    srv_chunked = T.Transcriber(ckpt, threshold=0.35)
+    srv_window = T.Transcriber(ckpt, threshold=0.35, window=6.5)
+    assert srv_window.loaded.audio_cfg.chunk_length == 6.5
+    assert srv_window.loaded.model.config.attention_backend == "auto"
+    assert srv_chunked.loaded.audio_cfg.chunk_length == 2.0  # untouched
+
+    from music_transcription_tpu.data import audio as audio_io
+
+    y, _ = audio_io.load_audio(wav, sr=16000, mono=True)
+    notes_c = srv_chunked.transcribe_array(y)
+    notes_w = srv_window.transcribe_array(y)
+
+    def coverage(notes, pitch):
+        return sum(n.end - n.start for n in notes if n.pitch == pitch)
+
+    # the long window sees the whole held note in one program — no seams
+    assert coverage(notes_w, 72) >= 5.0, notes_w
+    assert abs(coverage(notes_c, 72) - coverage(notes_w, 72)) <= 0.8, (
+        notes_c, notes_w)
+    # neither path may invent substantial other pitches
+    for notes in (notes_c, notes_w):
+        spurious = sum(n.end - n.start for n in notes if n.pitch != 72)
+        assert spurious <= 0.6, notes
+
+
+def test_window_mode_rejects_ast(tmp_path):
+    import pytest as _pytest
+
+    from music_transcription_tpu.config import ModelConfig as MC
+
+    ast_cfg = MC(model_type="transformer", n_mels=32)
+    d = tmp_path / "ast_ckpt"
+    model = TranscriptionModel(ast_cfg)
+    variables = model.init(jax.random.key(0), model.example_input(batch=1, t=8))
+    save_checkpoint(d, dict(variables))
+    with open(d / "config.json", "w") as f:
+        json.dump({"model": config_to_dict(ast_cfg),
+                   "audio": config_to_dict(TINY_AUDIO)}, f)
+    with _pytest.raises(ValueError, match="window"):
+        T.Transcriber(d, window=10.0)
