@@ -30,18 +30,26 @@ from music_transcription_tpu.config import NUM_KEYS
 
 
 def collate_mel(items: list, pad_to: int | None = None):
-    """[(mel (M,T_i), roll (88,T_i))] -> (mel (B,1,M,T), roll (B,88,T), lengths)."""
+    """[(mel (M,T_i), roll (88,T_i))] -> (mel (B,1,M,T), roll (B,88,T), lengths).
+
+    Buffers are ``np.empty`` with only the pad *tail* zeroed — at the cached
+    steady state (fixed 30 s chunks, 1-frame pad to the static T) a full
+    ``np.zeros`` pre-pass doubled host memory traffic and showed up as the
+    single-core feed bottleneck (scripts/bench_loader.py).
+    """
     lengths = np.array([m.shape[-1] for m, _ in items], np.int32)
     max_t = int(pad_to) if pad_to else int(lengths.max())
     b = len(items)
     n_mels = items[0][0].shape[0]
-    mel = np.zeros((b, 1, n_mels, max_t), np.float32)
-    roll = np.zeros((b, NUM_KEYS, max_t), np.float32)
+    mel = np.empty((b, 1, n_mels, max_t), np.float32)
+    roll = np.empty((b, NUM_KEYS, max_t), np.float32)
     for i, (m, r) in enumerate(items):
         t = min(m.shape[-1], max_t)
         mel[i, 0, :, :t] = m[:, :t]
+        mel[i, 0, :, t:] = 0.0
         tr = min(r.shape[-1], max_t)
         roll[i, :, :tr] = r[:, :tr]
+        roll[i, :, tr:] = 0.0
     lengths = np.minimum(lengths, max_t)
     return mel, roll, lengths
 

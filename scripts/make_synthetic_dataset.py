@@ -60,6 +60,11 @@ def build_parser():
     p.add_argument("--pedal_coverage", type=float, default=0.45,
                    help="fraction of each piece under sustain pedal (0 = v1 "
                         "behaviour: no CC64 events)")
+    p.add_argument("--timbre", type=str, default="v2", choices=["v2", "v1"],
+                   help="v1 = round-2 renderer (4 clean harmonics, velocity "
+                        "scales amplitude only, no pedal) — kept for "
+                        "scaling-curve consistency with corpora generated "
+                        "before the v2 realism pass")
     p.add_argument("--val_fraction", type=float, default=0.15)
     p.add_argument("--test_fraction", type=float, default=0.15)
     return p
@@ -241,6 +246,51 @@ def render(notes, duration, sr, rng, pedal_spans=()):
     return y
 
 
+def random_piece_v1(rng, duration, notes_per_second, max_polyphony):
+    """Round-2 note model: uniform Poisson-ish onsets, bounded polyphony."""
+    n_notes = max(1, int(duration * notes_per_second))
+    onsets = np.sort(rng.uniform(0.0, duration - 0.3, n_notes))
+    notes = []
+    for on in onsets:
+        active = sum(1 for n in notes if n.start <= on < n.end)
+        if active >= max_polyphony:
+            continue
+        pitch = int(rng.integers(MIN_MIDI, MIN_MIDI + NUM_KEYS))
+        length = float(rng.uniform(0.15, 2.5))
+        off = min(on + length, duration)
+        vel = int(rng.integers(50, 112))
+        notes.append(midi_io.Note(pitch=pitch, start=float(on), end=off,
+                                  velocity=vel))
+    return notes
+
+
+def render_v1(notes, duration, sr, rng):
+    """Round-2 renderer: decaying 4-harmonic tones, velocity = amplitude.
+    Unchanged so pre-v2 corpora (AST scaling curve) remain reproducible."""
+    t_total = int(duration * sr)
+    y = np.zeros(t_total, np.float32)
+    for n in notes:
+        f0 = 440.0 * 2 ** ((n.pitch - 69) / 12)
+        i0, i1 = int(n.start * sr), min(int(n.end * sr), t_total)
+        if i1 <= i0:
+            continue
+        t = np.arange(i1 - i0, dtype=np.float32) / sr
+        env = np.exp(-t * 1.5).astype(np.float32)
+        env[: min(80, len(env))] *= np.linspace(0, 1, min(80, len(env)),
+                                                dtype=np.float32)
+        amp = 0.25 * (n.velocity / 127.0)
+        seg = np.zeros_like(t)
+        for h, w in ((1, 1.0), (2, 0.5), (3, 0.25), (4, 0.12)):
+            fh = f0 * h * (1 + rng.normal(0, 1e-4))
+            if fh < sr / 2:
+                seg += w * np.sin(2 * np.pi * fh * t).astype(np.float32)
+        y[i0:i1] += amp * env * seg
+    peak = np.abs(y).max()
+    if peak > 0.98:
+        y *= 0.98 / peak
+    return y
+
+
 def pedal_control_changes(spans, rng):
     """CC64 events for press/release spans (+ in-hold jitter above the
     threshold, which the target builder must ignore — transition semantics)."""
@@ -281,13 +331,19 @@ def main(argv=None):
         split = ("test" if i < n_test
                  else "validation" if i < n_test + n_val else "train")
         year = 2017 if split == "train" else 2018
-        spans = random_pedal_spans(rng, args.duration, args.pedal_coverage)
-        notes = random_piece(rng, args.duration, args.notes_per_second,
-                             args.max_polyphony, spans)
+        if args.timbre == "v1":
+            spans = []
+            notes = random_piece_v1(rng, args.duration, args.notes_per_second,
+                                    args.max_polyphony)
+            audio = render_v1(notes, args.duration, args.sr, rng)
+        else:
+            spans = random_pedal_spans(rng, args.duration, args.pedal_coverage)
+            notes = random_piece(rng, args.duration, args.notes_per_second,
+                                 args.max_polyphony, spans)
+            audio = render(notes, args.duration, args.sr, rng, spans)
         rel_wav = f"{year}/synth{i:04d}.wav"
         rel_mid = f"{year}/synth{i:04d}.midi"
-        write_wav(os.path.join(args.out, rel_wav),
-                  render(notes, args.duration, args.sr, rng, spans), args.sr)
+        write_wav(os.path.join(args.out, rel_wav), audio, args.sr)
         mid = midi_io.notes_to_midi(notes)
         mid.instruments[0].control_changes = pedal_control_changes(spans, rng)
         mid_path = os.path.join(args.out, rel_mid)
