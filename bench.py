@@ -127,6 +127,28 @@ def main():
         file=sys.stderr,
     )
 
+    # Interactive latency: ONE 30 s chunk, one dispatch, fenced — the unit of
+    # work of a serve.py --stdin request at steady state. This is the number
+    # the "<50 ms/chunk/chip" target means when read as a *request* latency
+    # (BASELINE.md); on this backend it is dominated by per-call RPC overhead
+    # (~28 ms), not device compute.
+    chunk1 = chunks[:1]
+    t0 = time.perf_counter()
+    _, fence = pipeline(variables, chunk1)
+    _ = int(fence)
+    print(f"[bench] batch1 compile+first run: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    b1 = []
+    for i in range(iters):
+        c = chunk1 + jnp.float32((i + 1) * 1e-7)
+        t0 = time.perf_counter()
+        _, fence = pipeline(variables, c)
+        _ = int(fence)
+        b1.append(time.perf_counter() - t0)
+    b1.sort()
+    batch1_ms = b1[len(b1) // 2] * 1000.0
+    print(f"[bench] batch=1 single dispatch: {batch1_ms:.2f}ms", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -136,6 +158,7 @@ def main():
                 "vs_baseline": round(BASELINE_MS / ms_per_chunk, 3),
                 "single_dispatch_ms": round(single_ms, 3),
                 "single_dispatch_ms_per_chunk": round(single_ms / batch, 3),
+                "batch1_ms": round(batch1_ms, 3),
                 "batch": batch,
             }
         )

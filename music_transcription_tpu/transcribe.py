@@ -216,7 +216,20 @@ class Transcriber:
                     model=TranscriptionModel(cfg), variables=loaded.variables,
                     audio_cfg=loaded.audio_cfg,
                 )
-        self.loaded = loaded
+        # Pin the weights on device ONCE at load time. jit does not cache
+        # host-numpy arguments, so without this every request re-uploads the
+        # full parameter tree (~356 MB for the 89M flagship) — on a tunneled
+        # PJRT backend that turns a ~31 ms request (bench.py batch1_ms) into
+        # multi-second serving latency.
+        if mesh is None and len(jax.devices()) > 1:
+            mesh = mesh_lib.make_mesh()
+        if mesh is not None:
+            variables = mesh_lib.replicate(loaded.variables, mesh)
+        else:
+            variables = jax.device_put(loaded.variables)
+        self.loaded = LoadedModel(
+            model=loaded.model, variables=variables, audio_cfg=loaded.audio_cfg
+        )
         self.mesh = mesh
         self.threshold = threshold
 
