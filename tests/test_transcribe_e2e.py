@@ -120,6 +120,22 @@ def test_transcriber_class_multi_file(tiny_checkpoint, tmp_path):
     assert isinstance(notes, list)
 
 
+def test_transcriber_pins_weights_on_device(tiny_checkpoint):
+    """The resident server must hold device arrays, not host numpy: jit does
+    not cache host arguments, so host-resident weights would be re-uploaded
+    on every request (~356 MB/call for the 89M flagship on a tunneled
+    backend — the serving bug fixed in round 3)."""
+    import jax
+
+    from music_transcription_tpu.transcribe import Transcriber
+
+    t = Transcriber(tiny_checkpoint, use_pallas_lstm=False)
+    leaves = jax.tree.leaves(t.loaded.variables)
+    assert leaves and all(isinstance(a, jax.Array) for a in leaves)
+    # committed to a concrete device (device_put result), not a tracer/host view
+    assert all(a.committed for a in leaves)
+
+
 def test_serve_cli_watch_once_and_stdin(tiny_checkpoint, tmp_path):
     import subprocess
 
