@@ -83,7 +83,8 @@ class CachedMaestroDataset:
     (n_mels, T) — the device pipeline adds channel dims.
     """
 
-    def __init__(self, cache_dir, split: str = "train", verbose: bool = True):
+    def __init__(self, cache_dir, split: str = "train", verbose: bool = True,
+                 subset_size: int | None = None):
         self.cache_dir = str(cache_dir)
         self.split = split
         self.split_cache_dir = os.path.join(self.cache_dir, split)
@@ -94,6 +95,25 @@ class CachedMaestroDataset:
             )
         self.metadata = load_metadata(cache_dir, split)
         self.num_chunks = self.metadata["num_chunks"]
+        # Piece-level subsetting (raw MaestroDataset semantics: first N CSV
+        # rows, reference scripts/train.py subset_size). Chunk metadata
+        # records the source piece as file_idx; restrict to the first N.
+        self._indices = None
+        if subset_size:
+            chunks = self.metadata.get("chunks")
+            if not chunks or "file_idx" not in chunks[0]:
+                raise ValueError(
+                    f"cache {cache_dir} has no per-chunk file_idx metadata; "
+                    f"subset_size needs a cache written by this repo's "
+                    f"preprocess_dataset.py (re-run with --force)"
+                )
+            self._indices = [i for i, c in enumerate(chunks)
+                             if c["file_idx"] < subset_size]
+            if not self._indices:
+                raise ValueError(
+                    f"subset_size={subset_size} selects no chunks in split "
+                    f"'{split}' of {cache_dir}")
+            self.num_chunks = len(self._indices)
         if not os.path.isdir(self.split_cache_dir):
             raise FileNotFoundError(
                 f"Cache directory not found: {self.split_cache_dir}. "
@@ -110,6 +130,8 @@ class CachedMaestroDataset:
         return self.num_chunks
 
     def __getitem__(self, idx: int):
+        if self._indices is not None:
+            idx = self._indices[idx]
         data = load_chunk(self.split_cache_dir, idx)
         if "tokens" in data:
             return data["waveform"], data["tokens"]
@@ -140,7 +162,9 @@ class HybridMaestroDataset:
             if os.path.exists(metadata_path(cache_dir, split)):
                 meta = load_metadata(cache_dir, split)
                 if meta.get("chunk_length") == chunk_length and meta.get("overlap") == overlap:
-                    self.dataset = CachedMaestroDataset(cache_dir, split, verbose=verbose)
+                    self.dataset = CachedMaestroDataset(
+                        cache_dir, split, verbose=verbose,
+                        subset_size=kwargs.get("subset_size"))
                     self.use_cache = True
                     if verbose:
                         print("✓ Using cached dataset (fast mode!)")

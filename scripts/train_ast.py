@@ -117,7 +117,8 @@ def main(argv=None):
         tokenizer = REMITokenizer(vocab_size=args.remi_vocab_size)
 
     if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
-        dataset = CachedMaestroDataset(args.cache_dir, args.split)
+        dataset = CachedMaestroDataset(args.cache_dir, args.split,
+                                       subset_size=subset)
         meta = dataset.metadata
         # AST needs waveforms: a mel cache or mismatched chunking would
         # silently mis-pair audio and tokens (train_cnn validates the same

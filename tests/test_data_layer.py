@@ -143,6 +143,47 @@ def test_cache_roundtrip_and_verify(maestro_root, tmp_path):
     assert np.array_equal(roll_c, roll_r)
 
 
+def test_cache_subset_size_selects_first_pieces(maestro_root, tmp_path):
+    ds = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    cache_dir = tmp_path / "cache"
+    split_dir = cache_dir / "train"
+    for i in range(len(ds)):
+        mel, roll = ds[i]
+        C.save_chunk(split_dir, i, {"mel": mel, "roll": roll})
+    C.save_metadata(
+        cache_dir, "train",
+        {"num_chunks": len(ds), "chunk_length": 2.0, "overlap": 0.0,
+         "n_mels": 48, "sr": 16000, "hop_length": 512,
+         "return_waveform": False, "tokenize": False,
+         "chunks": ds.chunks},
+    )
+
+    sub = C.CachedMaestroDataset(cache_dir, "train", verbose=False, subset_size=1)
+    want = [i for i, c in enumerate(ds.chunks) if c["file_idx"] < 1]
+    assert len(sub) == len(want) and 0 < len(sub) < len(ds)
+    mel_s, roll_s = sub[len(want) - 1]
+    mel_r, roll_r = ds[want[-1]]
+    assert np.allclose(mel_s, mel_r) and np.array_equal(roll_s, roll_r)
+
+    # raw-dataset parity: piece-level subset == MaestroDataset(subset_size=N)
+    raw = MaestroDataset(maestro_root, split="train", chunk_length=2.0,
+                         subset_size=1, audio_cfg=CFG)
+    assert len(sub) == len(raw)
+
+    # Hybrid forwards subset_size to the cached path
+    hds = C.HybridMaestroDataset(
+        maestro_root, cache_dir=cache_dir, split="train", chunk_length=2.0,
+        verbose=False, subset_size=1, audio_cfg=CFG)
+    assert hds.use_cache and len(hds) == len(sub)
+
+    # a cache without per-chunk metadata refuses rather than mis-subsetting
+    meta = C.load_metadata(cache_dir, "train")
+    del meta["chunks"]
+    C.save_metadata(cache_dir, "train", meta)
+    with pytest.raises(ValueError):
+        C.CachedMaestroDataset(cache_dir, "train", verbose=False, subset_size=1)
+
+
 def test_cache_reads_reference_pt_format(tmp_path):
     import torch
 
