@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--batches", type=int, default=40)
+    p.add_argument("--passes", type=int, default=1,
+                   help="epochs over the loader (small caches need >1 for "
+                        "a stable rate)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--n_mels", type=int, default=320)
     p.add_argument("--chunk_length", type=float, default=30.0)
@@ -108,11 +111,14 @@ def main(argv=None):
     t0 = time.perf_counter()
     n = 0
     last = None
-    for batch in epoch_iter():
-        last = batch
-        n += 1
-        if n >= n_batches:
-            break
+    for _ in range(args.passes):
+        got = 0
+        for batch in epoch_iter():
+            last = batch
+            n += 1
+            got += 1
+            if got >= n_batches:
+                break
     if not args.no_device and last is not None:
         jax.block_until_ready(last)
     dt = time.perf_counter() - t0
