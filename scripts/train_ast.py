@@ -56,6 +56,11 @@ def build_parser():
     # (see PARITY.md / config.py:96-99).
     p.add_argument("--freeze_encoder", "--freeze-encoder",
                    action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--val_split", "--val-split", type=str, default=None,
+                   help="track per-epoch CE on this split (e.g. 'validation') "
+                        "and retain the best-CE params for model_best")
+    p.add_argument("--val_batches", "--val-batches", type=int, default=16,
+                   help="cap on validation batches per epoch")
     p.add_argument("--sanity_checks", "--run_sanity_checks", "--run-sanity-checks",
                    action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--sanity_max_len", "--sanity-max-len", type=int, default=256,
@@ -156,15 +161,16 @@ def main(argv=None):
     class TokenizingView:
         """waveform+roll -> waveform+tokens on the fly (collate_ast role)."""
 
-        def __init__(self, ds):
+        def __init__(self, ds, tokenized=None):
             self.ds = ds
+            self.tokenized = pretokenized if tokenized is None else tokenized
 
         def __len__(self):
             return len(self.ds)
 
         def __getitem__(self, i):
             wave, second = self.ds[i]
-            if pretokenized:
+            if self.tokenized:
                 return wave, second
             tokens = tokenizer.encode_from_pianoroll(second, max_len=args.max_token_len)
             return wave, np.asarray(tokens, np.int64)
@@ -213,12 +219,38 @@ def main(argv=None):
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def eval_step(params, wave, tokens):
+        logits = model.module.apply(
+            {"params": params}, wave, targets=tokens[:, :-1], train=False)
+        return model.loss(logits, tokens[:, 1:])
+
+    val_loader = None
+    if args.val_split:
+        val_tokenized = False
+        if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.val_split)):
+            val_ds = CachedMaestroDataset(args.cache_dir, args.val_split)
+            val_tokenized = val_ds.metadata.get("tokenize", False)
+        else:
+            val_ds = MaestroDataset(
+                args.root_dir, split=args.val_split,
+                chunk_length=args.chunk_length, overlap=0.0,
+                return_waveform=True, audio_cfg=audio_cfg)
+        val_loader = Loader(
+            TokenizingView(val_ds, tokenized=val_tokenized), args.batch_size, shuffle=False,
+            seed=args.seed, num_workers=2, drop_last=True,
+            collate=collate_tokens, pad_to=audio_cfg.chunk_samples)
+        print(f"Validation set: {len(val_ds)} chunks "
+              f"(up to {args.val_batches} batches/epoch)")
+
     run_dir = args.run_dir or os.path.join(
         "outputs", "ast_" + datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     )
     os.makedirs(run_dir, exist_ok=True)
     params = variables["params"]
     rng = jax.random.key(args.seed + 1)
+    best_val, best_params, best_epoch = float("inf"), None, 0
+    log_path = os.path.join(run_dir, "training_log.txt")
     for epoch in range(1, args.epochs + 1):
         total, n = 0.0, 0
         for wave, tokens in loader:
@@ -235,17 +267,44 @@ def main(argv=None):
             )
             total += float(loss)
             n += 1
-        print(f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}")
+        line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
+        if val_loader is not None:
+            vtotal, vn = 0.0, 0
+            for wave, tokens in val_loader:
+                vtotal += float(eval_step(params, jnp.asarray(wave),
+                                          jnp.asarray(tokens)))
+                vn += 1
+                if vn >= args.val_batches:
+                    break
+            vloss = vtotal / max(1, vn)
+            line += f" val_loss={vloss:.4f}"
+            if vloss < best_val:
+                # retain on device (arrays are immutable; no copy needed),
+                # flush once at exit — per-epoch orbax saves over the
+                # tunneled host link cost ~60 s each (train_cnn's
+                # --save_best_every rationale)
+                best_val, best_params, best_epoch = vloss, params, epoch
+        print(line)
+        with open(log_path, "a") as f:
+            f.write(line + "\n")
 
-    ckpt = os.path.join(run_dir, "model_final")
-    save_checkpoint(ckpt, {"params": jax.tree.map(np.asarray, params)})
     import json
 
     from music_transcription_tpu.config import config_to_dict
 
-    with open(os.path.join(ckpt, "config.json"), "w") as f:
-        json.dump({"model": config_to_dict(model_cfg), "audio": config_to_dict(audio_cfg)}, f)
-    print(f"Saved {ckpt}")
+    sidecar = {"model": config_to_dict(model_cfg), "audio": config_to_dict(audio_cfg)}
+
+    def save(name, p):
+        ckpt = os.path.join(run_dir, name)
+        save_checkpoint(ckpt, {"params": jax.tree.map(np.asarray, p)})
+        with open(os.path.join(ckpt, "config.json"), "w") as f:
+            json.dump(sidecar, f)
+        print(f"Saved {ckpt}")
+
+    save("model_final", params)
+    if best_params is not None:
+        print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
+        save("model_best", best_params)
     return 0
 
 

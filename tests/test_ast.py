@@ -160,3 +160,31 @@ def test_predict_decodes_with_trained_tokenizer(ast_model):
             diff = float(np.abs(np.asarray(roll_e[..., :same_t]) -
                                 np.asarray(roll_r[..., :same_t])).sum())
             assert diff > 0 or roll_e.shape != roll_r.shape
+
+
+def test_train_ast_cli_val_tracking(tmp_path):
+    """--val_split tracks per-epoch CE, logs it, and writes model_best."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--root_dir", str(root), "--chunk_length", "2.0",
+         "--epochs", "2", "--batch_size", "2", "--max_token_len", "32",
+         "--decoder_layers", "1", "--decoder_dim", "32", "--decoder_heads", "2",
+         "--mock_encoder", "--no-sanity_checks",
+         "--val_split", "validation", "--val_batches", "1",
+         "--run_dir", str(run)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    log = (run / "training_log.txt").read_text().splitlines()
+    assert len(log) == 2 and all("val_loss=" in l for l in log)
+    assert (run / "model_best" / "config.json").exists()
+    assert (run / "model_final" / "config.json").exists()
