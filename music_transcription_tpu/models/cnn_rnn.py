@@ -39,7 +39,16 @@ from music_transcription_tpu.ops.lstm import bilstm_stack
 
 
 def _maxpool_freq(x: jnp.ndarray) -> jnp.ndarray:
-    """(2,1) max-pool over the freq axis of NHWC (floor semantics, VALID)."""
+    """(2,1) max-pool over the freq axis of NHWC (floor semantics, VALID).
+
+    Stays on ``nn.max_pool``/reduce_window deliberately: the train-step
+    xplane trace prices pooling at 14.6 ms/step (fwd reduce_window 5.4 +
+    bwd select-and-scatter 9.1 of a 210 ms step), and a reshape+max-over-
+    size-2-axis rewrite (forward element-identical, cheaper compare/select
+    backward) was measured SLOWER end-to-end — 239.1 vs 218.7 ms/step — the
+    strided (B,F/2,2,T,C) view poisons XLA's layout assignment the same way
+    the space-to-depth conv1 experiment did (DESIGN.md).
+    """
     return nn.max_pool(x, window_shape=(2, 1), strides=(2, 1), padding="VALID")
 
 

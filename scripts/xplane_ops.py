@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--min_ms", type=float, default=0.0,
                    help="hide per-op rows below this per-step time")
+    p.add_argument("--line", type=str, default="XLA Ops",
+                   help="device-plane line to aggregate (default: the "
+                        "synchronous compute line; 'Async XLA Ops' shows "
+                        "DMA/collective overlap instead)")
+    p.add_argument("--depth", type=int, default=2,
+                   help="scope-path components kept in the tf_op table")
     args = p.parse_args(argv)
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -57,16 +63,47 @@ def main(argv=None):
         raise SystemExit(
             f"no device planes in {path}; planes: {[pl.name for pl in space.planes]}")
 
+    def scope_key(tf_op, depth):
+        """jit(train_step)/jvp(CNNRNNLarge)/res_block1/... -> a short bucket.
+
+        Keeps the fwd/bwd distinction (jvp vs transpose(jvp)) plus `depth`
+        scope components below it; strips the jit(...) root and the
+        make_train_step glue scopes.
+        """
+        parts = [p for p in tf_op.rstrip(":").split("/") if p]
+        if parts and parts[0].startswith("jit("):
+            parts = parts[1:]
+        out = []
+        for p in parts:
+            if p.startswith("transpose(jvp("):
+                out.append("bwd")
+                continue
+            if p.startswith("jvp("):
+                out.append("fwd")
+                continue
+            if p.startswith(("vmap(", "make_train_step", "train_step")):
+                continue
+            out.append(p)
+            if len(out) >= depth + 1 and out[0] in ("fwd", "bwd"):
+                break
+            if len(out) >= depth and out[0] not in ("fwd", "bwd"):
+                break
+        return "/".join(out) if out else "(top)"
+
     by_op = collections.Counter()       # display name -> ns
     by_cat = collections.Counter()      # hlo_category -> ns
+    by_scope = collections.Counter()    # tf_op scope bucket -> ns
     op_cat = {}
+    op_scope = {}
     for pl in dev_planes:
         meta = pl.event_metadata
         stat_meta = pl.stat_metadata
         for line in pl.lines:
-            # XLA ops live on the "XLA Ops" line; step/module lines would
-            # double-count the same wall time.
-            if line.name and "op" not in line.name.lower():
+            # Aggregate exactly one line: "XLA Ops" is the synchronous
+            # TensorCore timeline (sums to the measured step time);
+            # "Async XLA Ops"/"Steps"/"XLA Modules" cover the same wall
+            # time again and would double-count.
+            if line.name != args.line:
                 continue
             for ev in line.events:
                 md = meta.get(ev.metadata_id)
@@ -75,15 +112,22 @@ def main(argv=None):
                 name = md.display_name or md.name
                 dur = ev.duration_ps // 1000  # ps -> ns
                 by_op[name] += dur
-                cat = None
+                cat = tf_op = None
                 for st in list(ev.stats) + list(md.stats):
                     smd = stat_meta.get(st.metadata_id)
-                    if smd is not None and smd.name == "hlo_category":
+                    if smd is None:
+                        continue
+                    if smd.name == "hlo_category":
                         cat = st.str_value or None
-                        break
+                    elif smd.name == "tf_op":
+                        tf_op = st.str_value or None
                 if cat:
                     by_cat[cat] += dur
                     op_cat[name] = cat
+                if tf_op:
+                    sk = scope_key(tf_op, args.depth)
+                    by_scope[sk] += dur
+                    op_scope[name] = sk
 
     def ms(ns):
         return ns / 1e6 / args.steps
@@ -97,12 +141,20 @@ def main(argv=None):
     for cat, ns in by_cat.most_common():
         print(f"{cat:<28}{ms(ns):>10.3f}{ns / total:>7.1%}")
 
-    print(f"\n{'op':<72}{'cat':<16}{'ms/step':>10}")
+    if by_scope:
+        print(f"\n{'scope (tf_op)':<52}{'ms/step':>10}{'share':>8}")
+        for sk, ns in by_scope.most_common():
+            if ms(ns) < args.min_ms:
+                break
+            print(f"{sk[:50]:<52}{ms(ns):>10.3f}{ns / total:>7.1%}")
+
+    print(f"\n{'op':<52}{'scope':<36}{'cat':<12}{'ms/step':>9}")
     shown = 0
     for name, ns in by_op.most_common():
         if ms(ns) < args.min_ms:
             break
-        print(f"{name[:70]:<72}{op_cat.get(name, '-')[:14]:<16}{ms(ns):>10.3f}")
+        print(f"{name[:50]:<52}{op_scope.get(name, '-')[:34]:<36}"
+              f"{op_cat.get(name, '-')[:10]:<12}{ms(ns):>9.3f}")
         shown += 1
         if shown >= args.top:
             break
