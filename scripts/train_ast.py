@@ -61,6 +61,10 @@ def build_parser():
                         "and retain the best-CE params for model_best")
     p.add_argument("--val_batches", "--val-batches", type=int, default=16,
                    help="cap on validation batches per epoch")
+    p.add_argument("--early_stop_patience", "--early-stop-patience", type=int,
+                   default=0,
+                   help="stop when val CE has not improved for N epochs "
+                        "(0 = run all --epochs); needs --val_split")
     p.add_argument("--sanity_checks", "--run_sanity_checks", "--run-sanity-checks",
                    action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--sanity_max_len", "--sanity-max-len", type=int, default=256,
@@ -287,6 +291,11 @@ def main(argv=None):
         print(line)
         with open(log_path, "a") as f:
             f.write(line + "\n")
+        if (args.early_stop_patience and val_loader is not None
+                and epoch - best_epoch >= args.early_stop_patience):
+            print(f"Early stop: no val improvement since epoch {best_epoch} "
+                  f"(patience {args.early_stop_patience})")
+            break
 
     import json
 
