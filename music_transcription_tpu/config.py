@@ -165,6 +165,10 @@ class TrainConfig:
     # 0.6 s compute). k=1 = reference per-improvement behavior. The only
     # unsafe window is a hard kill (SIGKILL) between flushes.
     save_best_every: int = 1
+    # Stop when validation loss has not improved for this many epochs
+    # (0 = run all epochs; the true best state is retained/flushed either
+    # way). Extension over the reference, which always runs the full budget.
+    early_stop_patience: int = 0
     seed: int = 0
     max_nan_batches: int = 10  # abort after this many NaN/Inf losses
     # Parallelism: number of data-parallel shards; None -> all local devices.

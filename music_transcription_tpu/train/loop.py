@@ -282,6 +282,7 @@ def train_model(
 
     log_path = os.path.join(run_dir, "training_log.txt")
     best_val = float("inf")
+    best_epoch = start_epoch - 1
     # Exact best-model retention with write batching: on every improvement
     # the inference payload is device-copied (cheap, stays on device); the
     # copy is flushed to disk at most every save_best_every epochs and once
@@ -357,6 +358,7 @@ def train_model(
 
             if val_loss is not None and val_loss < best_val:
                 best_val = val_loss
+                best_epoch = epoch
                 # device-copy BEFORE the next step donates this state; the
                 # flush below (cadenced) or the finally (on exit) writes it
                 pending_best = jax.tree.map(
@@ -372,6 +374,12 @@ def train_model(
             if is_main:
                 _plot_curves(run_dir, history["train_loss"], history["val_loss"],
                              history["step_losses"])
+            if (train_cfg.early_stop_patience and val_loader is not None
+                    and epoch - best_epoch >= train_cfg.early_stop_patience):
+                if verbose:
+                    print(f"Early stop: no val improvement since epoch "
+                          f"{best_epoch} (patience {train_cfg.early_stop_patience})")
+                break
     finally:
         # clean end OR abort (NaN abort, Ctrl-C): the true best state is
         # device-resident and must not be lost to the write cadence

@@ -41,6 +41,10 @@ def build_parser():
                    help="write model_best at most every k epochs on val "
                         "improvement (k>1 amortizes slow device->host "
                         "checkpoint transfer; lag bounded at k-1 epochs)")
+    t.add_argument("--early_stop_patience", type=int, default=0,
+                   help="stop when val loss has not improved for N epochs "
+                        "(0 = run all --epochs; model_best is exact either "
+                        "way)")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--num_workers", type=int, default=8)
     t.add_argument("--start_epoch", type=int, default=1,
@@ -181,6 +185,7 @@ def main(argv=None):
         chunk_overlap=args.chunk_overlap,
         save_every=args.save_every,
         save_best_every=args.save_best_every,
+        early_stop_patience=args.early_stop_patience,
         seed=args.seed,
         data_parallel=args.data_parallel,
         partitioning=args.partitioning,

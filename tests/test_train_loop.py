@@ -57,6 +57,32 @@ def test_train_model_end_to_end(maestro_root, tmp_path):
     assert loaded.model.config.n_mels == 32
 
 
+def test_early_stop_patience(maestro_root, tmp_path):
+    """lr=0 -> val never improves after epoch 1 -> stop at 1+patience."""
+    mcfg = ModelConfig(
+        model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+        dropout=0.0, compute_dtype="float32",
+    )
+    tcfg = TrainConfig(epochs=10, batch_size=2, learning_rate=0.0, save_every=0,
+                       early_stop_patience=2, data_parallel=1, num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    val_set = MaestroDataset(maestro_root, split="validation", chunk_length=2.0, audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    train_loader = Loader(train_set, 2, shuffle=True, num_workers=0, drop_last=True, pad_to=pad_to)
+    val_loader = Loader(val_set, 1, num_workers=0, pad_to=pad_to)
+
+    run_dir = str(tmp_path / "run")
+    _, _, history = train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=train_loader, val_loader=val_loader,
+        run_dir=run_dir, verbose=False,
+    )
+    assert len(history["train_loss"]) == 3  # epoch 1 best + 2 patience
+    # best/final still flushed after the break
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "model_best"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "model_final"))
+
+
 def test_save_best_every_cadence(maestro_root, tmp_path, monkeypatch):
     """save_best_every=3 writes model_best at most every 3 epochs while val
     keeps improving, and a final-epoch improvement always persists."""
