@@ -59,6 +59,14 @@ def build_parser():
                         "reference CLI parity, ref evaluate.py:883)")
     # threshold tuning (reference scripts/evaluate.py:556-618)
     p.add_argument("--tune_threshold", action="store_true")
+    p.add_argument("--tune_split", type=str, default="validation",
+                   choices=["train", "validation", "test"],
+                   help="split the threshold is tuned on (default: validation). "
+                        "The reference tunes on the eval split itself "
+                        "(scripts/evaluate.py:556-618), leaking the test set "
+                        "into the reported number; pass --tune_split equal to "
+                        "--split to reproduce that (a leakage warning is "
+                        "printed).")
     p.add_argument("--tune_rounds", type=int, default=6)
     p.add_argument("--tune_range", type=float, nargs=2, default=[0.05, 0.95])
     p.add_argument("--tune_step", type=float, default=0.1)
@@ -173,6 +181,15 @@ def main(argv=None):
     audio_cfg = loaded.audio_cfg
     n_mels = loaded.model.config.n_mels
 
+    def _make_dataset(split):
+        if source == "cache":
+            return CachedMaestroDataset(source_path, split, verbose=not args.headless)
+        return MaestroDataset(
+            source_path, split=split, chunk_length=audio_cfg.chunk_length,
+            year=args.year,
+            audio_cfg=AudioConfig(n_mels=n_mels, chunk_length=audio_cfg.chunk_length),
+        )
+
     if source == "cache":
         meta = load_metadata(source_path, args.split)
         try:
@@ -184,16 +201,12 @@ def main(argv=None):
         if args.verify_compatibility:
             print("Compatibility check passed.")
             return 0
-        dataset = CachedMaestroDataset(source_path, args.split, verbose=not args.headless)
+        dataset = _make_dataset(args.split)
     else:
         if args.verify_compatibility:
             print("Raw data source; nothing to verify beyond file presence.")
             return 0
-        dataset = MaestroDataset(
-            source_path, split=args.split, chunk_length=audio_cfg.chunk_length,
-            year=args.year,
-            audio_cfg=AudioConfig(n_mels=n_mels, chunk_length=audio_cfg.chunk_length),
-        )
+        dataset = _make_dataset(args.split)
 
     n_total = len(dataset)
     n_eval = min(args.subset, n_total) if args.subset else n_total
@@ -211,7 +224,8 @@ def main(argv=None):
         print(f"Threshold:   {args.threshold}")
         if args.tune_threshold:
             print(f"Tuning:      rounds={args.tune_rounds} range={args.tune_range} "
-                  f"step={args.tune_step} min_step={args.tune_min_step}")
+                  f"step={args.tune_step} min_step={args.tune_min_step} "
+                  f"tune_split={args.tune_split}")
         print("This is a DRY RUN - no evaluation will be performed.")
         return 0
 
@@ -255,18 +269,48 @@ def main(argv=None):
                              pad_batch_to=args.batch_size)
 
     if args.tune_threshold:
+        # Tune on a disjoint split by default (the reference tunes on the eval
+        # split itself, scripts/evaluate.py:556-618 — that leaks the reported
+        # set into the threshold choice). The tuned threshold is frozen, then
+        # the eval split is scored once at that threshold.
+        if args.tune_split == args.split:
+            if is_main:
+                print(f"Warning: --tune_split equals --split ('{args.split}'): "
+                      f"the threshold is tuned on the split it is reported on "
+                      f"(reference-parity behavior; the reported F1 is "
+                      f"optimistically biased).")
+            cached_tune = cached
+        else:
+            try:
+                tune_ds = _make_dataset(args.tune_split)
+            except Exception as exc:
+                print(f"Error: cannot load --tune_split '{args.tune_split}' "
+                      f"from {source} source {source_path}: {exc}\n"
+                      f"Pass --tune_split {args.split} to tune on the eval "
+                      f"split (reference behavior, leaks the eval set).")
+                return 1
+            if len(tune_ds) == 0:
+                print(f"Error: --tune_split '{args.tune_split}' is empty in "
+                      f"{source} source {source_path}.")
+                return 1
+            if multihost:
+                tune_ds = ProcessShard(tune_ds, exact=True)
+            tune_loader = Loader(tune_ds, args.batch_size, num_workers=4,
+                                 pad_to=audio_cfg.mel_frames_per_chunk)
+            cached_tune = E.predict_probs(
+                loaded.model, loaded.variables, tune_loader,
+                verbose=not args.headless and is_main, pad_batch_to=args.batch_size)
         best_t, best_f1 = E.tune_threshold(
-            cached, rounds=args.tune_rounds, tune_range=tuple(args.tune_range),
+            cached_tune, rounds=args.tune_rounds, tune_range=tuple(args.tune_range),
             step=args.tune_step, min_step=args.tune_min_step,
             verbose=not args.headless and is_main, grid_fn=grid_fn,
         )
         if args.headless:
             if is_main:
                 print(f"EVAL_BEST_THRESHOLD={best_t:.6f}")
-                print(f"EVAL_MEAN_F1={best_f1:.6f}")
-            return 0
-        if is_main:
-            print(f"Best threshold: {best_t:.6f}\nBest mean F1:   {best_f1:.6f}")
+        elif is_main:
+            print(f"Best threshold: {best_t:.6f} (tuned on '{args.tune_split}', "
+                  f"tune-split mean F1 {best_f1:.6f})")
         args.threshold = best_t
 
     f1_scores = E.per_sample_f1(cached, args.threshold)
@@ -302,6 +346,8 @@ def main(argv=None):
     run_dir = os.path.join(args.out_dir, datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
     os.makedirs(run_dir, exist_ok=True)
     extra = {"model": args.model, "split": args.split, "source": source}
+    if args.tune_threshold:
+        extra["threshold tuned on"] = args.tune_split
     if onset_scores is not None:
         extra["mean onset F1 (±{:.0f} ms)".format(args.onset_tolerance * 1000)] = (
             f"{float(onset_scores.mean()):.6f}"

@@ -117,6 +117,15 @@ def eval_setup(tmp_path_factory):
         "num_chunks": 3, "chunk_length": 2.0, "overlap": 0.0, "n_mels": 32,
         "sr": 16000, "hop_length": 512, "return_waveform": False, "tokenize": False,
     })
+    for i in range(2):
+        C.save_chunk(cache_dir / "validation", i, {
+            "mel": rng.standard_normal((32, 62)).astype(np.float32),
+            "roll": (rng.random((88, 62)) > 0.9).astype(np.float32),
+        })
+    C.save_metadata(cache_dir, "validation", {
+        "num_chunks": 2, "chunk_length": 2.0, "overlap": 0.0, "n_mels": 32,
+        "sr": 16000, "hop_length": 512, "return_waveform": False, "tokenize": False,
+    })
     return d, ckpt, cache_dir
 
 
@@ -173,10 +182,36 @@ def test_evaluate_cli_tuning_headless(eval_setup):
     d, ckpt, cache_dir = eval_setup
     proc = _run_eval(
         ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
+         "--headless", "--tune_threshold", "--tune_rounds", "2",
+         "--tune_split", "test"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "EVAL_BEST_THRESHOLD=" in proc.stdout
+    assert "EVAL_MEAN_F1=" in proc.stdout
+    # same-split tuning is reference-parity but leaky; the CLI must say so
+    assert "leak" in proc.stdout or "optimistically biased" in proc.stdout
+
+
+def test_evaluate_cli_tune_split_disjoint(eval_setup):
+    """--tune_split (default validation) tunes the threshold on a split
+    disjoint from --split: the frozen threshold comes from validation probs,
+    the reported EVAL_MEAN_F1 from the test split (VERDICT r3 weak #1)."""
+    d, ckpt, cache_dir = eval_setup
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
          "--headless", "--tune_threshold", "--tune_rounds", "2"], d)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "EVAL_BEST_THRESHOLD=" in proc.stdout
     assert "EVAL_MEAN_F1=" in proc.stdout
+    assert "optimistically biased" not in proc.stdout
+
+
+def test_evaluate_cli_tune_split_missing_errors(eval_setup):
+    d, ckpt, cache_dir = eval_setup
+    proc = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split", "test",
+         "--headless", "--tune_threshold", "--tune_split", "train"], d)
+    assert proc.returncode != 0
+    assert "tune_split" in proc.stdout
 
 
 # ---------------------------------------------------------------------------

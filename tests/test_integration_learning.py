@@ -46,7 +46,7 @@ def test_learns_to_transcribe_fixture(tmp_path):
 
     out = cli("evaluate.py", "--model", str(run / "checkpoints" / "model_final"),
               "--cache_dir", str(cache), "--split", "train", "--headless",
-              "--tune_threshold", "--tune_rounds", "3")
+              "--tune_threshold", "--tune_rounds", "3", "--tune_split", "train")
     f1 = float([l for l in out.splitlines() if l.startswith("EVAL_MEAN_F1=")][0].split("=")[1])
     assert f1 > 0.8, f"framework failed to learn its own train set: F1={f1}"
 

@@ -155,7 +155,8 @@ def test_two_process_evaluate_cli_matches_single_process(tmp_path):
     base_cmd = [sys.executable, os.path.join(os.path.dirname(HERE), "scripts", "evaluate.py"),
                 "--model", str(ckpt), "--root_dir", str(root), "--split", "train",
                 "--data_source", "full", "--device", "cpu", "--headless",
-                "--batch_size", "2", "--tune_threshold", "--tune_rounds", "2"]
+                "--batch_size", "2", "--tune_threshold", "--tune_rounds", "2",
+                "--tune_split", "train"]
 
     def parse(out):
         vals = {}
