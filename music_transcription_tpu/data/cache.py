@@ -105,7 +105,9 @@ class CachedMaestroDataset:
                 raise ValueError(
                     f"cache {cache_dir} has no per-chunk file_idx metadata; "
                     f"subset_size needs a cache written by this repo's "
-                    f"preprocess_dataset.py (re-run with --force)"
+                    f"preprocess_dataset.py (re-run it — metadata is "
+                    f"refreshed even when all chunks are already cached, "
+                    f"no --force needed)"
                 )
             self._indices = [i for i, c in enumerate(chunks)
                              if c["file_idx"] < subset_size]

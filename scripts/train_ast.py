@@ -125,26 +125,32 @@ def main(argv=None):
     else:
         tokenizer = REMITokenizer(vocab_size=args.remi_vocab_size)
 
+    def check_cache_meta(meta, split):
+        """AST needs waveforms: a mel cache or mismatched chunking would
+        silently mis-pair audio and tokens (train_cnn validates the same
+        class of conflicts; mirror that here — for the train AND val splits,
+        a mismatched val cache corrupts the CE that selects model_best)."""
+        if not (meta.get("return_waveform") or meta.get("tokenize")):
+            raise SystemExit(
+                f"Error: cache {args.cache_dir} (split '{split}') holds mel "
+                f"features; the AST model needs a --waveform (or --tokenize) "
+                f"cache.")
+        if meta.get("chunk_length") not in (None, args.chunk_length):
+            raise SystemExit(
+                f"Error: cache (split '{split}') chunk_length="
+                f"{meta.get('chunk_length')}s does not match --chunk_length "
+                f"{args.chunk_length}.")
+        tokenized = meta.get("tokenize", False)
+        if tokenized and args.tokenizer != "remi":
+            raise SystemExit(
+                f"Error: pre-tokenized caches are REMI-encoded (split "
+                f"'{split}'); use --tokenizer remi or a waveform cache.")
+        return tokenized
+
     if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.split)):
         dataset = CachedMaestroDataset(args.cache_dir, args.split,
                                        subset_size=subset)
-        meta = dataset.metadata
-        # AST needs waveforms: a mel cache or mismatched chunking would
-        # silently mis-pair audio and tokens (train_cnn validates the same
-        # class of conflicts; mirror that here).
-        if not (meta.get("return_waveform") or meta.get("tokenize")):
-            print(f"Error: cache {args.cache_dir} holds mel features; the AST "
-                  f"model needs a --waveform (or --tokenize) cache.")
-            return 1
-        if meta.get("chunk_length") not in (None, args.chunk_length):
-            print(f"Error: cache chunk_length={meta.get('chunk_length')}s does "
-                  f"not match --chunk_length {args.chunk_length}.")
-            return 1
-        pretokenized = meta.get("tokenize", False)
-        if pretokenized and args.tokenizer != "remi":
-            print("Error: pre-tokenized caches are REMI-encoded; use "
-                  "--tokenizer remi or a waveform cache.")
-            return 1
+        pretokenized = check_cache_meta(dataset.metadata, args.split)
     else:
         if args.cache_dir:
             print(f"Warning: no cache metadata at {args.cache_dir} for split "
@@ -234,12 +240,19 @@ def main(argv=None):
         val_tokenized = False
         if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, args.val_split)):
             val_ds = CachedMaestroDataset(args.cache_dir, args.val_split)
-            val_tokenized = val_ds.metadata.get("tokenize", False)
+            val_tokenized = check_cache_meta(val_ds.metadata, args.val_split)
         else:
             val_ds = MaestroDataset(
                 args.root_dir, split=args.val_split,
                 chunk_length=args.chunk_length, overlap=0.0,
                 return_waveform=True, audio_cfg=audio_cfg)
+        if len(val_ds) < args.batch_size:
+            # drop_last=True would yield zero val batches -> val_loss 0.0
+            # silently becomes best_val on epoch 1 and drives early stop
+            raise SystemExit(
+                f"Error: --val_split '{args.val_split}' has {len(val_ds)} "
+                f"chunks < batch_size {args.batch_size}; validation would "
+                f"see zero batches. Shrink --batch_size or use more data.")
         val_loader = Loader(
             TokenizingView(val_ds, tokenized=val_tokenized), args.batch_size, shuffle=False,
             seed=args.seed, num_workers=2, drop_last=True,

@@ -129,13 +129,19 @@ def main(argv=None):
                     by_scope[sk] += dur
                     op_scope[name] = sk
 
+    # Durations were summed across ALL device planes; normalize by the plane
+    # count so a multichip trace reports per-chip ms/step, not the sum over
+    # chips (which would inflate roofline math by N).
+    n_planes = max(1, len(dev_planes))
+
     def ms(ns):
-        return ns / 1e6 / args.steps
+        return ns / 1e6 / args.steps / n_planes
 
     total = sum(by_op.values())
     print(f"trace: {path}")
     print(f"device planes: {[pl.name for pl in dev_planes]}")
-    print(f"total device time: {ms(total):.2f} ms/step over {args.steps} steps\n")
+    note = f" (mean over {n_planes} device planes)" if n_planes > 1 else ""
+    print(f"total device time: {ms(total):.2f} ms/step over {args.steps} steps{note}\n")
 
     print(f"{'category':<28}{'ms/step':>10}{'share':>8}")
     for cat, ns in by_cat.most_common():

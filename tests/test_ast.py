@@ -188,3 +188,59 @@ def test_train_ast_cli_val_tracking(tmp_path):
     assert len(log) == 2 and all("val_loss=" in l for l in log)
     assert (run / "model_best" / "config.json").exists()
     assert (run / "model_final" / "config.json").exists()
+
+
+def _run_train_ast(args, timeout=600):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--chunk_length", "2.0", "--epochs", "1",
+         "--batch_size", "2", "--max_token_len", "32", "--decoder_layers", "1",
+         "--decoder_dim", "32", "--decoder_heads", "2", "--mock_encoder",
+         "--no-sanity_checks", *args],
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_train_ast_rejects_mismatched_val_cache(tmp_path):
+    """A mel-only cache on --val_split must be rejected (it would silently
+    corrupt the val CE that selects model_best), mirroring the train-path
+    compatibility checks."""
+    from music_transcription_tpu.data import cache as C
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    cache = tmp_path / "cache"
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        C.save_chunk(cache / "validation", i, {
+            "mel": rng.standard_normal((229, 62)).astype(np.float32),
+            "roll": np.zeros((88, 62), np.float32),
+        })
+    C.save_metadata(cache, "validation", {
+        "num_chunks": 4, "chunk_length": 2.0, "overlap": 0.0, "n_mels": 229,
+        "sr": 16000, "hop_length": 512, "return_waveform": False,
+        "tokenize": False,
+    })
+    proc = _run_train_ast(["--root_dir", str(root), "--cache_dir", str(cache),
+                           "--val_split", "validation",
+                           "--run_dir", str(tmp_path / "run")])
+    assert proc.returncode != 0
+    assert "mel features" in proc.stderr + proc.stdout
+
+
+def test_train_ast_rejects_empty_val_loader(tmp_path):
+    """val split smaller than batch_size would yield zero val batches and a
+    fake val_loss of 0.0; the CLI must refuse instead."""
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    proc = _run_train_ast(["--root_dir", str(root), "--val_split", "validation",
+                           "--batch_size", "64",
+                           "--run_dir", str(tmp_path / "run")])
+    assert proc.returncode != 0
+    assert "zero batches" in proc.stderr + proc.stdout
