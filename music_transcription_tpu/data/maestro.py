@@ -34,12 +34,22 @@ from music_transcription_tpu.data import midi as midi_io
 
 
 def _resolve_audio_path(root_dir: str, rel: str) -> str:
+    """CSV audio path, with the reference's per-file .wav -> .mp3 fallback
+    (reference data/dataset.py:69-71,119-121). A file present under neither
+    name fails here with both tried paths, not later as a decode exception."""
     path = os.path.join(root_dir, rel)
-    if not os.path.exists(path) and path.endswith(".wav"):
+    if os.path.exists(path):
+        return path
+    if path.endswith(".wav"):
         alt = path[: -len(".wav")] + ".mp3"
         if os.path.exists(alt):
             return alt
-    return path
+        raise FileNotFoundError(
+            f"audio file not found: {path} (also tried {alt}); check the "
+            f"dataset root and the CSV's audio_filename column")
+    raise FileNotFoundError(
+        f"audio file not found: {path}; check the dataset root and the "
+        f"CSV's audio_filename column")
 
 
 class MaestroDataset:

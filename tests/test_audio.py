@@ -120,3 +120,86 @@ def test_fix_length():
     y = np.arange(5.0)
     assert A.fix_length(y, 3).tolist() == [0, 1, 2]
     assert A.fix_length(y, 7).tolist() == [0, 1, 2, 3, 4, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Compressed-audio fallback (reference data/dataset.py:69-71,119-121 swaps
+# .wav -> .mp3 per file; decode of non-WAV containers delegates to the
+# optional soundfile package)
+# ---------------------------------------------------------------------------
+
+
+class _StubSoundFile:
+    """Minimal stand-in for the soundfile module: 'decodes' any file to a
+    fixed ramp so the fallback branch is testable without a real mp3 codec."""
+
+    samplerate = 8000
+    frames = 8000
+
+    class SoundFile:
+        samplerate = 8000
+
+        def __init__(self, path):
+            self.pos = 0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def seek(self, n):
+            self.pos = n
+
+        def read(self, frames=-1, dtype="float32", always_2d=True):
+            total = 8000
+            n = total - self.pos if frames in (-1, None) else min(frames, total - self.pos)
+            data = (np.arange(self.pos, self.pos + n, dtype=np.float32) / total)[:, None]
+            return data if always_2d else data[:, 0]
+
+    @staticmethod
+    def info(path):
+        return _StubSoundFile
+
+
+def test_load_audio_optional_decoder_branch(tmp_path, monkeypatch):
+    """A non-WAV container decodes through the optional soundfile package
+    (stubbed): offset/duration windowing, mono, and resampling all apply."""
+    import sys
+
+    fake = tmp_path / "x.mp3"
+    fake.write_bytes(b"ID3\x04\x00 not a riff file")
+    monkeypatch.setitem(sys.modules, "soundfile", _StubSoundFile())
+    y, sr = A.load_audio(fake, sr=16000, mono=True, offset=0.25, duration=0.5)
+    assert sr == 16000
+    assert y.shape == (8000,)  # 0.5 s at the requested rate (stub is 8 kHz)
+    # the stub ramp starts at 0.25 of full scale at the offset point
+    assert abs(float(y[10]) - 0.25) < 0.01
+    assert A.audio_duration(fake) == 1.0
+
+
+def test_load_audio_no_decoder_actionable_error(tmp_path, monkeypatch):
+    """Without any optional decoder, a non-WAV file fails with an actionable
+    message (install a decoder / convert to WAV) — not a raw parse error."""
+    import sys
+
+    fake = tmp_path / "x.mp3"
+    fake.write_bytes(b"ID3\x04\x00 not a riff file")
+    monkeypatch.setitem(sys.modules, "soundfile", None)  # forces ImportError
+    with pytest.raises(A.AudioDecodeError, match="convert to WAV"):
+        A.load_audio(fake)
+    with pytest.raises(A.AudioDecodeError, match="convert to WAV"):
+        A.audio_duration(fake)
+
+
+def test_maestro_wav_to_mp3_path_fallback(tmp_path):
+    """_resolve_audio_path: .wav missing but .mp3 present -> the mp3 path;
+    neither present -> FileNotFoundError naming both tried paths."""
+    from music_transcription_tpu.data.maestro import _resolve_audio_path
+
+    root = tmp_path
+    (root / "2017").mkdir()
+    (root / "2017" / "piece.mp3").write_bytes(b"x")
+    assert _resolve_audio_path(str(root), "2017/piece.wav").endswith("piece.mp3")
+    with pytest.raises(FileNotFoundError, match=r"piece2\.wav.*piece2\.mp3"):
+        _resolve_audio_path(str(root), "2017/piece2.wav")
