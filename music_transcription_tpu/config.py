@@ -97,6 +97,14 @@ class ModelConfig:
     decoder_dim: int = 384
     decoder_heads: int = 6
     max_output_len: int = 1024
+    # AST mel-patch encoder geometry (models/transformer.py). encoder_n_mels
+    # is the encoder's own mel frontend resolution — independent of the
+    # CNN-tier ``n_mels`` above.
+    encoder_layers: int = 4
+    encoder_dim: int = 384
+    encoder_heads: int = 6
+    patch_frames: int = 4
+    encoder_n_mels: int = 128
     use_mock_encoder: bool = False
     # The reference freezes its *pretrained* encoder; ours trains from
     # scratch (no pretrained weights fetchable), so freezing would cap the

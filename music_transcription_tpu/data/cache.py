@@ -84,7 +84,12 @@ class CachedMaestroDataset:
     """
 
     def __init__(self, cache_dir, split: str = "train", verbose: bool = True,
-                 subset_size: int | None = None):
+                 subset_size: int | None = None, prefer_roll: bool = False):
+        # prefer_roll: tokenized caches also carry the piano roll (the
+        # preprocess CLI always stores it); return (waveform, roll) instead
+        # of (waveform, tokens) — the frame-supervised encoder-pretraining
+        # objective reads rolls from the same cache the decoder trains on.
+        self.prefer_roll = prefer_roll
         self.cache_dir = str(cache_dir)
         self.split = split
         self.split_cache_dir = os.path.join(self.cache_dir, split)
@@ -135,7 +140,12 @@ class CachedMaestroDataset:
         if self._indices is not None:
             idx = self._indices[idx]
         data = load_chunk(self.split_cache_dir, idx)
-        if "tokens" in data:
+        if self.prefer_roll and "roll" not in data:
+            raise KeyError(
+                f"chunk {idx} of {self.split_cache_dir} stores no 'roll'; "
+                f"prefer_roll needs a cache written by this repo's "
+                f"preprocess_dataset.py (rolls are stored alongside tokens)")
+        if "tokens" in data and not self.prefer_roll:
             return data["waveform"], data["tokens"]
         if "waveform" in data:
             return data["waveform"], data["roll"]

@@ -67,6 +67,25 @@ def collate_tokens(items: list, pad_to: int | None = None):
     return wave, tokens
 
 
+def collate_wave_roll(items: list, pad_to: int | None = None,
+                      roll_pad_to: int | None = None):
+    """[(waveform (n_i,), roll (88,T_i))] -> (wave (B,N), roll (B,88,T),
+    lengths (B,)) for frame-supervised encoder pretraining (the AST tier's
+    waveform input with the CNN tier's masked-BCE targets)."""
+    n = max(w.shape[-1] for w, _ in items) if pad_to is None else int(pad_to)
+    lengths = np.array([r.shape[-1] for _, r in items], np.int32)
+    max_t = int(roll_pad_to) if roll_pad_to else int(lengths.max())
+    b = len(items)
+    wave = np.zeros((b, n), np.float32)
+    roll = np.zeros((b, NUM_KEYS, max_t), np.float32)
+    for i, (w, r) in enumerate(items):
+        t = min(w.shape[-1], n)
+        wave[i, :t] = w[:t]
+        tr = min(r.shape[-1], max_t)
+        roll[i, :, :tr] = r[:, :tr]
+    return wave, roll, np.minimum(lengths, max_t)
+
+
 class Loader:
     """Minimal epoch loader over an indexable dataset.
 

@@ -60,6 +60,11 @@ def build_module(cfg: ModelConfig):
             decoder_heads=cfg.decoder_heads,
             dropout=cfg.dropout,
             max_output_len=cfg.max_output_len,
+            encoder_layers=cfg.encoder_layers,
+            encoder_dim=cfg.encoder_dim,
+            encoder_heads=cfg.encoder_heads,
+            patch_frames=cfg.patch_frames,
+            n_mels=cfg.encoder_n_mels,
             use_mock_encoder=cfg.use_mock_encoder,
             freeze_encoder=cfg.freeze_encoder,
             compute_dtype=dtype,

@@ -155,6 +155,85 @@ class EncoderLayer(nn.Module):
         return x + nn.Dropout(self.dropout, deterministic=not train)(h)
 
 
+def _encode_mel_patches(mdl, waveforms, train: bool):
+    """Shared mel-patch encoder body: log-mel -> patch embed -> learned
+    positions -> pre-LN transformer blocks -> final LN. ``mdl`` must define
+    patch_embed / enc_pos / enc_blocks / enc_norm (same names in
+    ASTTranscriber and ASTEncoderPretrainer, so pretrained encoder params
+    transplant between them by subtree copy)."""
+    acfg = AudioConfig(n_mels=mdl.n_mels)
+    from music_transcription_tpu.ops.mel import log_mel_batch
+
+    mel = log_mel_batch(waveforms, acfg)  # (B, M, T)
+    b, m, t = mel.shape
+    t_trim = (t // mdl.patch_frames) * mdl.patch_frames
+    patches = mel[:, :, :t_trim].reshape(b, m, -1, mdl.patch_frames)
+    patches = jnp.transpose(patches, (0, 2, 1, 3)).reshape(
+        b, t_trim // mdl.patch_frames, m * mdl.patch_frames
+    )
+    x = mdl.patch_embed(patches.astype(mdl.compute_dtype))
+    pos = jnp.arange(x.shape[1])
+    x = x + mdl.enc_pos(pos)[None]
+    for blk in mdl.enc_blocks:
+        x = blk(x, train=train)
+    return mdl.enc_norm(x)
+
+
+ENCODER_PARAM_KEYS = ("patch_embed", "enc_pos", "enc_norm")  # + enc{i} blocks
+
+
+def encoder_param_subtrees(params: dict) -> dict:
+    """The encoder's parameter subtrees by top-level key (the transplant
+    unit between ASTEncoderPretrainer and ASTTranscriber)."""
+    keys = [k for k in params
+            if k in ENCODER_PARAM_KEYS or (k.startswith("enc") and k[3:].isdigit())]
+    return {k: params[k] for k in keys}
+
+
+class ASTEncoderPretrainer(nn.Module):
+    """Frame-supervised pretraining tower for the mel-patch encoder.
+
+    The reference's AST value comes from a FROZEN PRETRAINED encoder
+    (reference models/transformer_model.py:35,94-97 — AudioSet weights,
+    unfetchable in a zero-egress environment). This reproduces the
+    architecture pattern with in-environment resources: pretrain the same
+    encoder against framewise 88-key labels (free from the synthetic
+    corpus), then transplant the encoder subtrees into ASTTranscriber and
+    freeze them while the token decoder trains.
+
+    Output: frame logits (B, 88, T_trim) where T_trim = S * patch_frames —
+    the frame head predicts ``patch_frames`` frames per encoder token, so
+    supervision is at the full roll frame rate.
+    """
+
+    encoder_layers: int = 4
+    encoder_dim: int = 384
+    encoder_heads: int = 6
+    patch_frames: int = 4
+    n_mels: int = 128
+    dropout: float = 0.1
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        # names MUST match ASTTranscriber's encoder attributes (subtree copy)
+        self.patch_embed = nn.Dense(self.encoder_dim, dtype=self.compute_dtype)
+        self.enc_pos = nn.Embed(4096, self.encoder_dim)
+        self.enc_blocks = [
+            EncoderLayer(self.encoder_dim, self.encoder_heads, self.dropout,
+                         self.compute_dtype, name=f"enc{i}")
+            for i in range(self.encoder_layers)
+        ]
+        self.enc_norm = nn.LayerNorm()
+        self.frame_head = nn.Dense(self.patch_frames * 88, dtype=jnp.float32)
+
+    def __call__(self, waveforms, train: bool = False):
+        x = _encode_mel_patches(self, waveforms, train)  # (B, S, D)
+        h = self.frame_head(x.astype(jnp.float32))  # (B, S, patch_frames*88)
+        b, s, _ = h.shape
+        h = h.reshape(b, s * self.patch_frames, 88)
+        return jnp.transpose(h, (0, 2, 1))  # (B, 88, T_trim)
+
+
 class ASTTranscriber(nn.Module):
     """waveforms (B, L) -> REMI token logits / generated ids."""
 
@@ -203,22 +282,7 @@ class ASTTranscriber(nn.Module):
             key = jax.random.key(0)
             feats = jax.random.normal(key, (b, s, self.decoder_dim), jnp.float32)
             return feats
-        acfg = AudioConfig(n_mels=self.n_mels)
-        from music_transcription_tpu.ops.mel import log_mel_batch
-
-        mel = log_mel_batch(waveforms, acfg)  # (B, M, T)
-        b, m, t = mel.shape
-        t_trim = (t // self.patch_frames) * self.patch_frames
-        patches = mel[:, :, :t_trim].reshape(b, m, -1, self.patch_frames)
-        patches = jnp.transpose(patches, (0, 2, 1, 3)).reshape(
-            b, t_trim // self.patch_frames, m * self.patch_frames
-        )
-        x = self.patch_embed(patches.astype(self.compute_dtype))
-        pos = jnp.arange(x.shape[1])
-        x = x + self.enc_pos(pos)[None]
-        for blk in self.enc_blocks:
-            x = blk(x, train=train)
-        return self.enc_norm(x)
+        return _encode_mel_patches(self, waveforms, train)
 
     def _memory(self, waveforms, train: bool):
         feats = self._encode(waveforms, train)

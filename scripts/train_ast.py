@@ -49,6 +49,28 @@ def build_parser():
                         "events (models/event_tokenizer.py, ref "
                         "transformer_draft.ipynb cell 5)")
     p.add_argument("--dropout", type=float, default=0.2)
+    # mel-patch encoder geometry (shared by the AST model and the
+    # frame-supervised pretrainer; must match between the two runs)
+    p.add_argument("--encoder_layers", "--encoder-layers", type=int, default=4)
+    p.add_argument("--encoder_dim", "--encoder-dim", type=int, default=384)
+    p.add_argument("--encoder_heads", "--encoder-heads", type=int, default=6)
+    p.add_argument("--patch_frames", "--patch-frames", type=int, default=4)
+    p.add_argument("--encoder_n_mels", "--encoder-n-mels", type=int, default=128)
+    # Pretrain/freeze/finetune recipe (the reference's architecture pattern
+    # — frozen pretrained encoder + trained decoder, transformer_model.py:35,
+    # 94-97 — built from in-environment resources):
+    #   1. train_ast.py --pretrain_frames ...          (framewise 88-key head)
+    #   2. train_ast.py --encoder_init RUN/model_best --freeze-encoder ...
+    p.add_argument("--pretrain_frames", "--pretrain-frames",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="pretrain ONLY the mel-patch encoder with a framewise "
+                        "88-key head (masked BCE against piano rolls) instead "
+                        "of training the token model")
+    p.add_argument("--encoder_init", "--encoder-init", type=str, default=None,
+                   help="checkpoint from a --pretrain_frames run; its encoder "
+                        "subtrees are transplanted into the AST model "
+                        "(combine with --freeze-encoder for the reference's "
+                        "frozen-pretrained-encoder pattern)")
     p.add_argument("--mock_encoder", "--use_mock_encoder", "--use-mock-encoder",
                    action=argparse.BooleanOptionalAction, default=False)
     # Deviation from the reference default (True): it freezes a *pretrained*
@@ -95,6 +117,240 @@ def run_sanity_checks(dataset, tokenizer, max_token_len):
     print("Sanity checks passed.")
 
 
+def pretrain_main(args, subset):
+    """--pretrain_frames: frame-supervised pretraining of the mel-patch
+    encoder (ASTEncoderPretrainer). The synthetic corpus gives framewise
+    88-key labels for free; the CNN tier proves they teach acoustics to
+    F1 0.92 — this distills the same signal into the AST encoder, standing
+    in for the reference's unfetchable AudioSet pretraining
+    (reference models/transformer_model.py:35,94-97)."""
+    import json
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from music_transcription_tpu.config import AudioConfig, config_to_dict
+    from music_transcription_tpu.data.cache import CachedMaestroDataset, metadata_path
+    from music_transcription_tpu.data.maestro import MaestroDataset
+    from music_transcription_tpu.data.pipeline import Loader, collate_wave_roll
+    from music_transcription_tpu.models.transformer import ASTEncoderPretrainer
+    from music_transcription_tpu.ops.losses import masked_bce_loss
+    from music_transcription_tpu.train.checkpoints import save_checkpoint
+
+    audio_cfg = AudioConfig(chunk_length=args.chunk_length)
+
+    def make_ds(split, sub=None):
+        if args.cache_dir and os.path.exists(metadata_path(args.cache_dir, split)):
+            ds = CachedMaestroDataset(args.cache_dir, split, subset_size=sub,
+                                      prefer_roll=True)
+            meta = ds.metadata
+            if not meta.get("return_waveform"):
+                raise SystemExit(
+                    f"Error: cache {args.cache_dir} (split '{split}') has no "
+                    f"waveforms; encoder pretraining needs a --waveform or "
+                    f"--tokenize cache.")
+            if meta.get("chunk_length") not in (None, args.chunk_length):
+                raise SystemExit(
+                    f"Error: cache chunk_length={meta.get('chunk_length')}s != "
+                    f"--chunk_length {args.chunk_length}.")
+            return ds
+        return MaestroDataset(
+            args.root_dir, split=split,
+            year=None if args.year in (None, "all") else args.year,
+            chunk_length=args.chunk_length, overlap=args.chunk_overlap,
+            subset_size=sub, return_waveform=True, audio_cfg=audio_cfg)
+
+    dataset = make_ds(args.split, subset)
+    print(f"Pretrain set: {len(dataset)} chunks (frame-supervised)")
+    collate = partial(collate_wave_roll, roll_pad_to=audio_cfg.roll_frames_per_chunk)
+    loader = Loader(dataset, args.batch_size, shuffle=True, seed=args.seed,
+                    num_workers=4, drop_last=True, collate=collate,
+                    pad_to=audio_cfg.chunk_samples)
+
+    model = ASTEncoderPretrainer(
+        encoder_layers=args.encoder_layers, encoder_dim=args.encoder_dim,
+        encoder_heads=args.encoder_heads, patch_frames=args.patch_frames,
+        n_mels=args.encoder_n_mels, dropout=args.dropout)
+    sample = jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32)
+    variables = model.init(jax.random.key(args.seed), sample, train=False)
+    if args.resume:
+        from music_transcription_tpu.train.checkpoints import load_checkpoint
+
+        payload = load_checkpoint(args.resume, like={"params": variables["params"]})
+        variables = {**variables, "params": payload["params"]}
+        print(f"Resumed params from {args.resume}")
+    n_params = sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
+    print(f"Encoder pretrainer: {n_params / 1e6:.1f}M params "
+          f"({args.encoder_layers}L x {args.encoder_dim}d, "
+          f"patch_frames={args.patch_frames}, n_mels={args.encoder_n_mels})")
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, wave, roll, lengths, rng):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, wave, train=True,
+                                 rngs={"dropout": rng})
+            return masked_bce_loss(logits, roll, lengths)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, wave, roll, lengths):
+        logits = model.apply({"params": params}, wave, train=False)
+        loss = masked_bce_loss(logits, roll, lengths)
+        # framewise tp/fp/fn at threshold 0.5 on the valid frames: a direct
+        # read on acoustic quality, comparable to the CNN tier's F1
+        t = roll.shape[-1]
+        from music_transcription_tpu.ops.losses import interpolate_time_linear
+
+        pred = interpolate_time_linear(logits, t) > 0.0
+        mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, :]
+        pos = (roll > 0.5) & mask
+        tp = jnp.sum(pred & pos)
+        fp = jnp.sum(pred & ~pos & mask)
+        fn = jnp.sum(~pred & pos)
+        return loss, tp, fp, fn
+
+    val_loader = None
+    if args.val_split:
+        val_ds = make_ds(args.val_split)
+        if len(val_ds) < args.batch_size:
+            raise SystemExit(
+                f"Error: --val_split '{args.val_split}' has {len(val_ds)} "
+                f"chunks < batch_size {args.batch_size}.")
+        val_loader = Loader(val_ds, args.batch_size, shuffle=False,
+                            seed=args.seed, num_workers=2, drop_last=True,
+                            collate=collate, pad_to=audio_cfg.chunk_samples)
+        print(f"Validation set: {len(val_ds)} chunks "
+              f"(up to {args.val_batches} batches/epoch)")
+
+    run_dir = args.run_dir or os.path.join(
+        "outputs", "ast_pretrain_" + datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    params = variables["params"]
+    rng = jax.random.key(args.seed + 1)
+    best_val, best_params, best_epoch = float("inf"), None, 0
+    log_path = os.path.join(run_dir, "training_log.txt")
+    for epoch in range(1, args.epochs + 1):
+        total, n = 0.0, 0
+        for wave, roll, lengths in loader:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(wave), jnp.asarray(roll),
+                jnp.asarray(lengths), sub)
+            total += float(loss)
+            n += 1
+        line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
+        if val_loader is not None:
+            vtotal, vn = 0.0, 0
+            tp = fp = fn_ = 0
+            for wave, roll, lengths in val_loader:
+                vloss, btp, bfp, bfn = eval_step(
+                    params, jnp.asarray(wave), jnp.asarray(roll),
+                    jnp.asarray(lengths))
+                vtotal += float(vloss)
+                tp += int(btp); fp += int(bfp); fn_ += int(bfn)
+                vn += 1
+                if vn >= args.val_batches:
+                    break
+            vloss = vtotal / max(1, vn)
+            f1 = 2 * tp / max(1, 2 * tp + fp + fn_)
+            line += f" val_loss={vloss:.4f} val_frame_f1={f1:.4f}"
+            if vloss < best_val:
+                best_val, best_params, best_epoch = vloss, params, epoch
+        print(line, flush=True)
+        with open(log_path, "a") as f:
+            f.write(line + "\n")
+        if (args.early_stop_patience and val_loader is not None
+                and epoch - best_epoch >= args.early_stop_patience):
+            print(f"Early stop: no val improvement since epoch {best_epoch} "
+                  f"(patience {args.early_stop_patience})")
+            break
+
+    sidecar = {
+        "pretrain_encoder": {
+            "encoder_layers": args.encoder_layers,
+            "encoder_dim": args.encoder_dim,
+            "encoder_heads": args.encoder_heads,
+            "patch_frames": args.patch_frames,
+            "encoder_n_mels": args.encoder_n_mels,
+        },
+        "audio": config_to_dict(audio_cfg),
+    }
+
+    def save(name, p):
+        ckpt = os.path.join(run_dir, name)
+        save_checkpoint(ckpt, {"params": jax.tree.map(np.asarray, p)})
+        with open(os.path.join(ckpt, "config.json"), "w") as f:
+            json.dump(sidecar, f)
+        print(f"Saved {ckpt}")
+
+    save("model_final", params)
+    if best_params is not None:
+        print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
+        save("model_best", best_params)
+    return 0
+
+
+def transplant_encoder(variables, ckpt_path, model_cfg):
+    """Copy encoder subtrees from a --pretrain_frames checkpoint into the AST
+    model's params (geometry must match; shapes are verified leaf by leaf)."""
+    import json
+
+    import jax
+
+    from music_transcription_tpu.models.transformer import encoder_param_subtrees
+    from music_transcription_tpu.train.checkpoints import load_checkpoint
+
+    sidecar_path = os.path.join(ckpt_path, "config.json")
+    if os.path.isfile(sidecar_path):
+        pre = json.load(open(sidecar_path)).get("pretrain_encoder")
+        if pre:
+            for k, want in (
+                ("encoder_layers", model_cfg.encoder_layers),
+                ("encoder_dim", model_cfg.encoder_dim),
+                ("encoder_heads", model_cfg.encoder_heads),
+                ("patch_frames", model_cfg.patch_frames),
+                ("encoder_n_mels", model_cfg.encoder_n_mels),
+            ):
+                if pre.get(k, want) != want:
+                    raise SystemExit(
+                        f"Error: --encoder_init geometry mismatch: checkpoint "
+                        f"{k}={pre.get(k)} vs model {k}={want}. Pass matching "
+                        f"--{k} flags.")
+    target = encoder_param_subtrees(variables["params"])
+    if not target:
+        raise SystemExit("Error: --encoder_init with --mock_encoder: the mock "
+                         "encoder has no parameters to initialize.")
+    # load with a like-tree restricted to the encoder subtrees + frame_head
+    # (the pretrain checkpoint also stores frame_head, which the AST model
+    # does not have — restore only what transplants)
+    payload = load_checkpoint(ckpt_path)
+    src = payload["params"]
+    out = dict(variables["params"])
+    import numpy as np
+
+    for k, sub in target.items():
+        if k not in src:
+            raise SystemExit(f"Error: --encoder_init checkpoint lacks encoder "
+                             f"subtree '{k}' (is this a --pretrain_frames "
+                             f"checkpoint?)")
+        want_shapes = jax.tree.map(lambda a: a.shape, sub)
+        got_shapes = jax.tree.map(lambda a: a.shape, src[k])
+        if want_shapes != got_shapes:
+            raise SystemExit(
+                f"Error: --encoder_init subtree '{k}' shape mismatch: "
+                f"{got_shapes} vs model {want_shapes}")
+        out[k] = jax.tree.map(lambda a: np.asarray(a), src[k])
+    return {**variables, "params": out}
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     subset = None if args.subset_size in ("all", "0") else int(args.subset_size)
@@ -103,6 +359,9 @@ def main(argv=None):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    if args.pretrain_frames:
+        return pretrain_main(args, subset)
 
     import jax.numpy as jnp
     import numpy as np
@@ -194,12 +453,19 @@ def main(argv=None):
     model_cfg = ModelConfig(
         model_type="ast", dropout=args.dropout, remi_vocab_size=args.remi_vocab_size,
         decoder_layers=args.decoder_layers, decoder_dim=args.decoder_dim,
-        decoder_heads=args.decoder_heads, use_mock_encoder=args.mock_encoder,
+        decoder_heads=args.decoder_heads,
+        encoder_layers=args.encoder_layers, encoder_dim=args.encoder_dim,
+        encoder_heads=args.encoder_heads, patch_frames=args.patch_frames,
+        encoder_n_mels=args.encoder_n_mels, use_mock_encoder=args.mock_encoder,
         freeze_encoder=args.freeze_encoder, tokenizer=args.tokenizer,
     )
     model = TranscriptionModel(model_cfg)
     sample_wave = jnp.zeros((1, audio_cfg.chunk_samples), jnp.float32)
     variables = model.init(jax.random.key(args.seed), sample_wave)
+    if args.encoder_init:
+        variables = transplant_encoder(variables, args.encoder_init, model_cfg)
+        print(f"Initialized encoder from {args.encoder_init}"
+              + (" (frozen)" if args.freeze_encoder else ""))
     if args.resume:
         from music_transcription_tpu.train.checkpoints import load_checkpoint
 

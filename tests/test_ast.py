@@ -244,3 +244,90 @@ def test_train_ast_rejects_empty_val_loader(tmp_path):
                            "--run_dir", str(tmp_path / "run")])
     assert proc.returncode != 0
     assert "zero batches" in proc.stderr + proc.stdout
+
+
+def test_encoder_pretrainer_module():
+    """ASTEncoderPretrainer emits full-frame-rate 88-key logits and its
+    encoder parameter subtrees transplant into ASTTranscriber unchanged."""
+    from music_transcription_tpu.models.transformer import (
+        ASTEncoderPretrainer,
+        ASTTranscriber,
+        encoder_param_subtrees,
+    )
+
+    pre = ASTEncoderPretrainer(encoder_layers=2, encoder_dim=32,
+                               encoder_heads=2, patch_frames=4, n_mels=32)
+    wave = jnp.zeros((2, 32000), jnp.float32)
+    v = pre.init(jax.random.key(0), wave, train=False)
+    out = pre.apply(v, wave, train=False)
+    # T_mel = 1 + 32000//512 = 63 -> trimmed to 60 = S*patch_frames
+    assert out.shape == (2, 88, 60)
+
+    ast = ASTTranscriber(remi_vocab_size=64, decoder_layers=1, decoder_dim=32,
+                         decoder_heads=2, encoder_layers=2, encoder_dim=32,
+                         encoder_heads=2, patch_frames=4, n_mels=32,
+                         use_mock_encoder=False, freeze_encoder=True)
+    va = ast.init({"params": jax.random.key(1)}, wave,
+                  targets=jnp.zeros((2, 8), jnp.int32), train=False)
+    sub = encoder_param_subtrees(v["params"])
+    assert sorted(sub) == ["enc0", "enc1", "enc_norm", "enc_pos", "patch_embed"]
+    params = dict(va["params"])
+    params.update(sub)
+    logits = ast.apply({"params": params}, wave,
+                       targets=jnp.zeros((2, 8), jnp.int32), train=False)
+    assert logits.shape == (2, 8, 64)
+
+
+def test_pretrain_then_encoder_init_freeze_cli(tmp_path):
+    """The documented pretrain/freeze/finetune recipe through the real CLI:
+    --pretrain_frames trains the encoder tower and writes a checkpoint;
+    --encoder_init transplants it into the AST model; --freeze-encoder keeps
+    it bit-identical through decoder training (the reference's frozen
+    pretrained-encoder pattern, transformer_model.py:35,94-97)."""
+    from music_transcription_tpu.train.checkpoints import load_checkpoint
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    geo = ["--encoder_layers", "1", "--encoder_dim", "32", "--encoder_heads",
+           "2", "--patch_frames", "4", "--encoder_n_mels", "32"]
+    pre_run = tmp_path / "pre"
+    proc = _run_train_ast(["--root_dir", str(root), "--pretrain_frames",
+                           "--epochs", "2", "--val_split", "validation",
+                           "--val_batches", "1", "--run_dir", str(pre_run),
+                           *geo])
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    assert "val_frame_f1=" in proc.stdout
+    assert (pre_run / "model_best" / "config.json").exists()
+
+    ast_run = tmp_path / "ast"
+    proc = _run_train_ast(["--root_dir", str(root), "--no-mock_encoder",
+                           "--encoder_init", str(pre_run / "model_best"),
+                           "--freeze_encoder", "--run_dir", str(ast_run), *geo])
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    assert "Initialized encoder" in proc.stdout
+
+    pre_params = load_checkpoint(str(pre_run / "model_best"))["params"]
+    ast_params = load_checkpoint(str(ast_run / "model_final"))["params"]
+    for k in ("patch_embed", "enc0", "enc_norm", "enc_pos"):
+        for a, b in zip(jax.tree.leaves(pre_params[k]),
+                        jax.tree.leaves(ast_params[k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_encoder_init_geometry_mismatch_errors(tmp_path):
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    pre_run = tmp_path / "pre"
+    proc = _run_train_ast(["--root_dir", str(root), "--pretrain_frames",
+                           "--epochs", "1", "--run_dir", str(pre_run),
+                           "--encoder_layers", "1", "--encoder_dim", "32",
+                           "--encoder_heads", "2", "--encoder_n_mels", "32"])
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    proc = _run_train_ast(["--root_dir", str(root), "--no-mock_encoder",
+                           "--encoder_init", str(pre_run / "model_final"),
+                           "--run_dir", str(tmp_path / "ast"),
+                           "--encoder_layers", "2", "--encoder_dim", "32",
+                           "--encoder_heads", "2", "--encoder_n_mels", "32"])
+    assert proc.returncode != 0
+    assert "geometry mismatch" in proc.stderr + proc.stdout
