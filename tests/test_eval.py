@@ -267,3 +267,24 @@ def test_evaluate_cli_onset_f1(eval_setup):
          "--headless", "--onset_f1"], d)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "EVAL_ONSET_F1=" in proc.stdout
+
+
+def test_evaluate_cli_window_mode(eval_setup, tmp_path):
+    """--window evaluates at a larger inference window from raw audio
+    (long-window quality measured as F1, not just agreement)."""
+    from tests.maestro_fixture import make_maestro_root
+
+    d, ckpt, cache_dir = eval_setup
+    root = make_maestro_root(tmp_path / "maestro")
+    proc = _run_eval(
+        ["--model", str(ckpt), "--root_dir", str(root), "--data_source",
+         "full", "--split", "train", "--window", "4.0", "--headless",
+         "--batch_size", "2"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "EVAL_MEAN_F1=" in proc.stdout
+    # cache source must refuse the flag (fixed-length chunks)
+    proc2 = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split",
+         "test", "--window", "4.0", "--headless"], d)
+    assert proc2.returncode != 0
+    assert "raw data source" in proc2.stdout
