@@ -67,7 +67,136 @@ def build_parser():
                         "before the v2 realism pass")
     p.add_argument("--val_fraction", type=float, default=0.15)
     p.add_argument("--test_fraction", type=float, default=0.15)
+    # v3 realism (round-4): long-form pieces, room acoustics, tonal structure
+    # — the dimensions MAESTRO has that dry uniform-random 60 s pieces lack.
+    # Corpus v3 = --tonality --reverb 0.3 --duration_range 180 300.
+    p.add_argument("--duration_range", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="per-piece duration ~ uniform(LO, HI) seconds "
+                        "(overrides --duration; MAESTRO pieces run minutes)")
+    p.add_argument("--reverb", type=float, default=0.0,
+                   help="room-IR wet mix in [0, 1): convolve each piece with "
+                        "a synthetic exponential-decay room impulse response "
+                        "(per-piece RT60 ~ 0.3-1.0 s). 0 = dry (v1/v2)")
+    p.add_argument("--tonality", action="store_true",
+                   help="key-structured note selection: per-piece key with "
+                        "section modulations to related keys; chords are "
+                        "diatonic stacks, runs walk the scale")
     return p
+
+
+# ---------------------------------------------------------------------------
+# Tonality (v3): keys, section modulations, diatonic chords, scale runs
+# ---------------------------------------------------------------------------
+
+_MAJOR = (0, 2, 4, 5, 7, 9, 11)
+_MINOR = (0, 2, 3, 5, 7, 8, 10)
+
+
+class Tonality:
+    """Per-piece key plan: sections of 15-40 s, each in a key related to the
+    last (dominant / subdominant / relative), major or minor scale. Supplies
+    scale-snapped pitches, diatonic chord stacks, and scale-walk runs."""
+
+    def __init__(self, rng, duration):
+        self.sections = []  # (start_time, tonic_pc, intervals)
+        t = 0.0
+        tonic = int(rng.integers(0, 12))
+        minor = bool(rng.random() < 0.4)
+        while t < duration:
+            self.sections.append((t, tonic, _MINOR if minor else _MAJOR))
+            t += float(rng.uniform(15.0, 40.0))
+            move = rng.random()
+            if move < 0.4:
+                tonic = (tonic + 7) % 12  # dominant
+            elif move < 0.7:
+                tonic = (tonic + 5) % 12  # subdominant
+            else:
+                # relative major/minor
+                tonic = (tonic + (3 if minor else 9)) % 12
+                minor = not minor
+
+    def _scale_at(self, t):
+        cur = self.sections[0]
+        for s in self.sections:
+            if s[0] <= t:
+                cur = s
+        return cur[1], cur[2]
+
+    def snap(self, pitch, t, rng):
+        """Nearest scale tone (8% chance of a chromatic passing tone)."""
+        if rng.random() < 0.08:
+            return int(pitch)
+        tonic, ivs = self._scale_at(t)
+        pc = (pitch - tonic) % 12
+        best = min(ivs, key=lambda iv: min((pc - iv) % 12, (iv - pc) % 12))
+        d = (best - pc) % 12
+        if d > 6:
+            d -= 12
+        return int(pitch + d)
+
+    def chord(self, rng, t):
+        """Diatonic stack on a random scale degree: degrees d, d+2, d+4
+        (+ d+6 for a seventh 35% of the time), as semitone intervals."""
+        tonic, ivs = self._scale_at(t)
+        d = int(rng.integers(0, 7))
+        degs = [d, d + 2, d + 4] + ([d + 6] if rng.random() < 0.35 else [])
+        root = ivs[d % 7]
+        out = []
+        for g in degs:
+            semi = ivs[g % 7] + 12 * (g // 7) - root
+            out.append(semi)
+        if rng.random() < 0.3:
+            out.append(12)  # octave double
+        return out
+
+    def run_pitches(self, rng, base, direction, count, t):
+        """Walk ``count`` scale steps from the snapped base."""
+        tonic, ivs = self._scale_at(t)
+        base = self.snap(base, t, rng)
+        pc = (base - tonic) % 12
+        # index of the base within the scale
+        deg = min(range(7), key=lambda i: min((pc - ivs[i]) % 12,
+                                              (ivs[i] - pc) % 12))
+        out = []
+        for k in range(count):
+            g = deg + k * direction
+            out.append(tonic + ivs[g % 7] + 12 * ((base - tonic) // 12 + g // 7))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Room impulse response (v3): exponential-decay noise tail + direct path
+# ---------------------------------------------------------------------------
+
+
+def room_ir(rng, sr, rt60):
+    """Synthetic room IR: unit direct path, sparse early reflections in the
+    first 40 ms, then a gaussian tail decaying 60 dB over ``rt60`` seconds
+    (the standard Schroeder/Moorer-style artificial reverberator shape)."""
+    n = max(int(rt60 * sr), sr // 10)
+    t = np.arange(n, dtype=np.float32) / sr
+    ir = rng.normal(0.0, 1.0, n).astype(np.float32) * np.exp(-6.908 * t / rt60)
+    ir[: int(0.004 * sr)] = 0.0  # pre-delay before the diffuse field
+    for _ in range(int(rng.integers(3, 7))):  # early reflections
+        at = int(rng.uniform(0.004, 0.04) * sr)
+        ir[at] += float(rng.uniform(0.2, 0.5)) * (1 if rng.random() < 0.5 else -1)
+    tail_rms = float(np.sqrt((ir ** 2).sum()))
+    ir *= 0.8 / max(tail_rms, 1e-9)  # bounded reverberant energy
+    ir[0] = 1.0  # direct path
+    return ir
+
+
+def apply_reverb(y, sr, rng, wet):
+    from scipy.signal import fftconvolve
+
+    ir = room_ir(rng, sr, rt60=float(rng.uniform(0.3, 1.0)))
+    rev = fftconvolve(y, ir)[: len(y)].astype(np.float32)
+    out = (1.0 - wet) * y + wet * rev
+    peak = np.abs(out).max()
+    if peak > 0.98:
+        out *= 0.98 / peak
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -122,8 +251,11 @@ _CHORD_INTERVALS = ([0, 4, 7], [0, 3, 7], [0, 4, 7, 12], [0, 3, 7, 12],
                     [0, 5, 7], [0, 4, 7, 11], [0, 3, 6, 9], [0, 7, 12, 16])
 
 
-def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans):
-    """Gesture-structured note list with bounded *sounding* polyphony."""
+def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans,
+                 tonality=None):
+    """Gesture-structured note list with bounded *sounding* polyphony.
+    With ``tonality``, pitch choices follow the piece's key plan (snapped
+    bases, diatonic chords, scale runs) instead of uniform chromatics."""
     notes = []  # (Note, sounding_end)
     t = float(rng.uniform(0.05, 0.5))
     target_notes = duration * notes_per_second
@@ -143,6 +275,11 @@ def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans):
     while t < duration - 0.4 and len(notes) < target_notes * 1.5:
         r = rng.random()
         base = int(rng.integers(MIN_MIDI, MIN_MIDI + NUM_KEYS))
+        if tonality is not None:
+            # concentrate register like keyboard writing, then snap to key
+            base = int(np.clip(rng.normal(64, 14), MIN_MIDI,
+                               MIN_MIDI + NUM_KEYS - 1))
+            base = tonality.snap(base, t, rng)
         vel = int(rng.normal(72, 22))
         under_pedal = any(on <= t < off for on, off in pedal_spans)
         ringing = [n for n, se in notes if n.end <= t < se]
@@ -155,7 +292,10 @@ def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans):
             t += float(rng.uniform(0.08, 0.5))
         elif r < 0.40:
             # chord: near-simultaneous onsets (few-ms strum)
-            iv = _CHORD_INTERVALS[int(rng.integers(len(_CHORD_INTERVALS)))]
+            if tonality is not None:
+                iv = tonality.chord(rng, t)
+            else:
+                iv = _CHORD_INTERVALS[int(rng.integers(len(_CHORD_INTERVALS)))]
             length = float(rng.uniform(0.3, 2.5))
             for k, semi in enumerate(iv):
                 add(base + semi, t + k * float(rng.uniform(0.0, 0.012)),
@@ -164,11 +304,16 @@ def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans):
             t += float(rng.uniform(0.25, 1.2))
         elif r < 0.60:
             # run: fast stepwise scale fragment
-            step = int(rng.choice([-2, -1, 1, 2]))
             count = int(rng.integers(4, 11))
             ioi = float(rng.uniform(0.06, 0.15))
-            for k in range(count):
-                add(base + k * step, t + k * ioi,
+            if tonality is not None:
+                direction = int(rng.choice([-1, 1]))
+                pitches = tonality.run_pitches(rng, base, direction, count, t)
+            else:
+                step = int(rng.choice([-2, -1, 1, 2]))
+                pitches = [base + k * step for k in range(count)]
+            for k, pch in enumerate(pitches):
+                add(pch, t + k * ioi,
                     float(rng.uniform(0.08, 0.35)), vel + int(rng.normal(0, 6)))
             t += count * ioi + float(rng.uniform(0.05, 0.4))
         else:
@@ -331,16 +476,22 @@ def main(argv=None):
         split = ("test" if i < n_test
                  else "validation" if i < n_test + n_val else "train")
         year = 2017 if split == "train" else 2018
+        duration = args.duration
+        if args.duration_range is not None:
+            duration = float(rng.uniform(*args.duration_range))
         if args.timbre == "v1":
             spans = []
-            notes = random_piece_v1(rng, args.duration, args.notes_per_second,
+            notes = random_piece_v1(rng, duration, args.notes_per_second,
                                     args.max_polyphony)
-            audio = render_v1(notes, args.duration, args.sr, rng)
+            audio = render_v1(notes, duration, args.sr, rng)
         else:
-            spans = random_pedal_spans(rng, args.duration, args.pedal_coverage)
-            notes = random_piece(rng, args.duration, args.notes_per_second,
-                                 args.max_polyphony, spans)
-            audio = render(notes, args.duration, args.sr, rng, spans)
+            tonality = Tonality(rng, duration) if args.tonality else None
+            spans = random_pedal_spans(rng, duration, args.pedal_coverage)
+            notes = random_piece(rng, duration, args.notes_per_second,
+                                 args.max_polyphony, spans, tonality=tonality)
+            audio = render(notes, duration, args.sr, rng, spans)
+        if args.reverb > 0:
+            audio = apply_reverb(audio, args.sr, rng, args.reverb)
         rel_wav = f"{year}/synth{i:04d}.wav"
         rel_mid = f"{year}/synth{i:04d}.midi"
         write_wav(os.path.join(args.out, rel_wav), audio, args.sr)
@@ -356,10 +507,10 @@ def main(argv=None):
             "year": year,
             "midi_filename": rel_mid,
             "audio_filename": rel_wav,
-            "duration": args.duration,
+            "duration": duration,
         })
         print(f"[{i + 1}/{args.pieces}] {split} {rel_wav} "
-              f"({len(notes)} notes, {len(spans)} pedal spans)")
+              f"({duration:.0f}s, {len(notes)} notes, {len(spans)} pedal spans)")
     pd.DataFrame(rows).to_csv(os.path.join(args.out, "maestro-v3.0.0.csv"),
                               index=False)
     counts = {s: sum(1 for r in rows if r["split"] == s)

@@ -88,3 +88,52 @@ def test_pedal_extension_is_load_bearing(tmp_path):
 
     # extended (key-up, pedal-down) frames must ring well above silence
     assert energy(extd) > 20 * energy(~act)
+
+
+def test_v3_tonality_reverb_duration_range(tmp_path):
+    """v3 generator flags: per-piece durations from --duration_range land in
+    the CSV, --tonality concentrates pitches on a 7-tone scale, --reverb
+    adds an audible room tail after note releases."""
+    import pandas as pd
+
+    from make_synthetic_dataset import Tonality, apply_reverb, main
+
+    root = tmp_path / "synth_v3"
+    assert main(["--out", str(root), "--pieces", "4", "--seed", "11",
+                 "--duration_range", "10", "16", "--tonality",
+                 "--reverb", "0.3"]) == 0
+    df = pd.read_csv(root / "maestro-v3.0.0.csv")
+    assert df["duration"].between(10, 16).all()
+    assert df["duration"].nunique() > 1  # actually varied
+
+    # tonality: within one section (first 12 s), most pitch classes sit on a
+    # single 7-tone scale (uniform-chromatic expectation: ~7/12 = 58%)
+    m = load_midi(str(root / "2017" / "synth0003.midi"))
+    pcs = [n.pitch % 12 for i in m.instruments for n in i.notes
+           if n.start < 12.0]
+    assert len(pcs) > 20
+    best = 0
+    for tonic in range(12):
+        for ivs in ((0, 2, 4, 5, 7, 9, 11), (0, 2, 3, 5, 7, 8, 10)):
+            scale = {(tonic + iv) % 12 for iv in ivs}
+            best = max(best, sum(1 for p in pcs if p in scale) / len(pcs))
+    assert best > 0.8, f"pitch classes not scale-concentrated: {best:.2f}"
+
+    # reverb: an impulse grows a decaying tail well past the direct sound
+    rng = np.random.default_rng(0)
+    x = np.zeros(16000, np.float32)
+    x[100] = 1.0
+    wet = apply_reverb(x, 16000, rng, wet=0.3)
+    tail = float((wet[4000:12000] ** 2).sum())
+    dry_tail = float((x[4000:12000] ** 2).sum())
+    assert tail > 1e-4 and dry_tail == 0.0
+
+    # Tonality.snap returns scale tones (chromatic passing excepted)
+    ton = Tonality(np.random.default_rng(1), 60.0)
+    tonic, ivs = ton._scale_at(5.0)
+    hits = 0
+    rng2 = np.random.default_rng(2)
+    for p in range(30, 90):
+        s = ton.snap(p, 5.0, rng2)
+        hits += ((s - tonic) % 12) in ivs
+    assert hits >= 50  # >= ~83% on scale (8% chromatic allowance)
