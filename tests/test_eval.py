@@ -288,3 +288,25 @@ def test_evaluate_cli_window_mode(eval_setup, tmp_path):
          "test", "--window", "4.0", "--headless"], d)
     assert proc2.returncode != 0
     assert "raw data source" in proc2.stdout
+
+
+def test_evaluate_cli_full_pieces_seam(eval_setup, tmp_path):
+    """--full_pieces scores whole raw recordings through the chunk/combine
+    inference path and reports seam-vs-interior F1."""
+    from tests.maestro_fixture import make_maestro_root
+
+    d, ckpt, cache_dir = eval_setup
+    root = make_maestro_root(tmp_path / "maestro")
+    proc = _run_eval(
+        ["--model", str(ckpt), "--root_dir", str(root), "--data_source",
+         "full", "--split", "train", "--full_pieces", "--headless",
+         "--onset_f1"], d)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    for key in ("EVAL_MEAN_F1=", "EVAL_SEAM_F1=", "EVAL_INTERIOR_F1=",
+                "EVAL_ONSET_F1="):
+        assert key in proc.stdout, proc.stdout
+    proc2 = _run_eval(
+        ["--model", str(ckpt), "--cache_dir", str(cache_dir), "--split",
+         "test", "--full_pieces", "--headless"], d)
+    assert proc2.returncode != 0
+    assert "raw data source" in proc2.stdout
