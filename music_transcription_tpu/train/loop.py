@@ -35,6 +35,25 @@ from music_transcription_tpu.config import (
     config_to_dict,
 )
 from music_transcription_tpu.data.pipeline import device_prefetch
+
+
+def install_graceful_sigterm() -> None:
+    """Route SIGTERM through KeyboardInterrupt so ``kill <pid>`` on a
+    backgrounded training run takes the same abort path as Ctrl-C — the
+    try/finally best-state flush. Jobs started with ``&`` from a
+    non-interactive shell ignore SIGINT per POSIX job control, so SIGTERM
+    is the only graceful stop an operator can actually send them; without
+    this handler it kills the process with the device-resident best state
+    unflushed."""
+    import signal
+
+    def _raise(signum, frame):
+        raise KeyboardInterrupt(f"signal {signum}")
+
+    try:
+        signal.signal(signal.SIGTERM, _raise)
+    except ValueError:  # not the main thread; leave default disposition
+        pass
 from music_transcription_tpu.parallel.mesh import make_mesh, replicate
 from music_transcription_tpu.parallel.train_step import (
     init_train_state,

@@ -237,41 +237,6 @@ def pretrain_main(args, subset):
     rng = jax.random.key(args.seed + 1)
     best_val, best_params, best_epoch = float("inf"), None, 0
     log_path = os.path.join(run_dir, "training_log.txt")
-    for epoch in range(1, args.epochs + 1):
-        total, n = 0.0, 0
-        for wave, roll, lengths in loader:
-            rng, sub = jax.random.split(rng)
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(wave), jnp.asarray(roll),
-                jnp.asarray(lengths), sub)
-            total += float(loss)
-            n += 1
-        line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
-        if val_loader is not None:
-            vtotal, vn = 0.0, 0
-            tp = fp = fn_ = 0
-            for wave, roll, lengths in val_loader:
-                vloss, btp, bfp, bfn = eval_step(
-                    params, jnp.asarray(wave), jnp.asarray(roll),
-                    jnp.asarray(lengths))
-                vtotal += float(vloss)
-                tp += int(btp); fp += int(bfp); fn_ += int(bfn)
-                vn += 1
-                if vn >= args.val_batches:
-                    break
-            vloss = vtotal / max(1, vn)
-            f1 = 2 * tp / max(1, 2 * tp + fp + fn_)
-            line += f" val_loss={vloss:.4f} val_frame_f1={f1:.4f}"
-            if vloss < best_val:
-                best_val, best_params, best_epoch = vloss, params, epoch
-        print(line, flush=True)
-        with open(log_path, "a") as f:
-            f.write(line + "\n")
-        if (args.early_stop_patience and val_loader is not None
-                and epoch - best_epoch >= args.early_stop_patience):
-            print(f"Early stop: no val improvement since epoch {best_epoch} "
-                  f"(patience {args.early_stop_patience})")
-            break
 
     sidecar = {
         "pretrain_encoder": {
@@ -291,10 +256,49 @@ def pretrain_main(args, subset):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
-    save("model_final", params)
-    if best_params is not None:
-        print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
-        save("model_best", best_params)
+    try:
+        for epoch in range(1, args.epochs + 1):
+            total, n = 0.0, 0
+            for wave, roll, lengths in loader:
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(wave), jnp.asarray(roll),
+                    jnp.asarray(lengths), sub)
+                total += float(loss)
+                n += 1
+            line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
+            if val_loader is not None:
+                vtotal, vn = 0.0, 0
+                tp = fp = fn_ = 0
+                for wave, roll, lengths in val_loader:
+                    vloss, btp, bfp, bfn = eval_step(
+                        params, jnp.asarray(wave), jnp.asarray(roll),
+                        jnp.asarray(lengths))
+                    vtotal += float(vloss)
+                    tp += int(btp); fp += int(bfp); fn_ += int(bfn)
+                    vn += 1
+                    if vn >= args.val_batches:
+                        break
+                vloss = vtotal / max(1, vn)
+                f1 = 2 * tp / max(1, 2 * tp + fp + fn_)
+                line += f" val_loss={vloss:.4f} val_frame_f1={f1:.4f}"
+                if vloss < best_val:
+                    best_val, best_params, best_epoch = vloss, params, epoch
+            print(line, flush=True)
+            with open(log_path, "a") as f:
+                f.write(line + "\n")
+            if (args.early_stop_patience and val_loader is not None
+                    and epoch - best_epoch >= args.early_stop_patience):
+                print(f"Early stop: no val improvement since epoch {best_epoch} "
+                      f"(patience {args.early_stop_patience})")
+                break
+    finally:
+        # clean end OR abort (Ctrl-C, NaN): the device-resident best state
+        # must not be lost (train/loop.py's _flush_best rationale)
+        save("model_final", params)
+        if best_params is not None:
+            print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
+            save("model_best", best_params)
     return 0
 
 
@@ -359,6 +363,10 @@ def main(argv=None):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    from music_transcription_tpu.train.loop import install_graceful_sigterm
+
+    install_graceful_sigterm()  # `kill <pid>` flushes model_best like Ctrl-C
 
     if args.pretrain_frames:
         return pretrain_main(args, subset)
@@ -534,47 +542,6 @@ def main(argv=None):
     rng = jax.random.key(args.seed + 1)
     best_val, best_params, best_epoch = float("inf"), None, 0
     log_path = os.path.join(run_dir, "training_log.txt")
-    for epoch in range(1, args.epochs + 1):
-        total, n = 0.0, 0
-        for wave, tokens in loader:
-            tk = np.asarray(tokens)
-            if tk.min() < 0 or tk.max() >= args.remi_vocab_size:
-                # reference transformer_draft.ipynb cell 7 assert_tokens_ok
-                raise ValueError(
-                    f"Token id out of range: min={tk.min()}, max={tk.max()}, "
-                    f"vocab={args.remi_vocab_size}"
-                )
-            rng, sub = jax.random.split(rng)
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(wave), jnp.asarray(tokens), sub
-            )
-            total += float(loss)
-            n += 1
-        line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
-        if val_loader is not None:
-            vtotal, vn = 0.0, 0
-            for wave, tokens in val_loader:
-                vtotal += float(eval_step(params, jnp.asarray(wave),
-                                          jnp.asarray(tokens)))
-                vn += 1
-                if vn >= args.val_batches:
-                    break
-            vloss = vtotal / max(1, vn)
-            line += f" val_loss={vloss:.4f}"
-            if vloss < best_val:
-                # retain on device (arrays are immutable; no copy needed),
-                # flush once at exit — per-epoch orbax saves over the
-                # tunneled host link cost ~60 s each (train_cnn's
-                # --save_best_every rationale)
-                best_val, best_params, best_epoch = vloss, params, epoch
-        print(line)
-        with open(log_path, "a") as f:
-            f.write(line + "\n")
-        if (args.early_stop_patience and val_loader is not None
-                and epoch - best_epoch >= args.early_stop_patience):
-            print(f"Early stop: no val improvement since epoch {best_epoch} "
-                  f"(patience {args.early_stop_patience})")
-            break
 
     import json
 
@@ -589,10 +556,55 @@ def main(argv=None):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
-    save("model_final", params)
-    if best_params is not None:
-        print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
-        save("model_best", best_params)
+    try:
+        for epoch in range(1, args.epochs + 1):
+            total, n = 0.0, 0
+            for wave, tokens in loader:
+                tk = np.asarray(tokens)
+                if tk.min() < 0 or tk.max() >= args.remi_vocab_size:
+                    # reference transformer_draft.ipynb cell 7 assert_tokens_ok
+                    raise ValueError(
+                        f"Token id out of range: min={tk.min()}, max={tk.max()}, "
+                        f"vocab={args.remi_vocab_size}"
+                    )
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(wave), jnp.asarray(tokens), sub
+                )
+                total += float(loss)
+                n += 1
+            line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
+            if val_loader is not None:
+                vtotal, vn = 0.0, 0
+                for wave, tokens in val_loader:
+                    vtotal += float(eval_step(params, jnp.asarray(wave),
+                                              jnp.asarray(tokens)))
+                    vn += 1
+                    if vn >= args.val_batches:
+                        break
+                vloss = vtotal / max(1, vn)
+                line += f" val_loss={vloss:.4f}"
+                if vloss < best_val:
+                    # retain on device (arrays are immutable; no copy needed),
+                    # flush once at exit — per-epoch orbax saves over the
+                    # tunneled host link cost ~60 s each (train_cnn's
+                    # --save_best_every rationale)
+                    best_val, best_params, best_epoch = vloss, params, epoch
+            print(line)
+            with open(log_path, "a") as f:
+                f.write(line + "\n")
+            if (args.early_stop_patience and val_loader is not None
+                    and epoch - best_epoch >= args.early_stop_patience):
+                print(f"Early stop: no val improvement since epoch {best_epoch} "
+                      f"(patience {args.early_stop_patience})")
+                break
+    finally:
+        # clean end OR abort (Ctrl-C, NaN): flush the device-resident best
+        # state (train/loop.py's _flush_best rationale)
+        save("model_final", params)
+        if best_params is not None:
+            print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
+            save("model_best", best_params)
     return 0
 
 

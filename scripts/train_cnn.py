@@ -135,6 +135,10 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from music_transcription_tpu.train.loop import install_graceful_sigterm
+
+    install_graceful_sigterm()  # `kill <pid>` flushes model_best like Ctrl-C
+
     from music_transcription_tpu.parallel.distributed import (
         ProcessShard,
         local_batch_size,

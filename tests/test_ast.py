@@ -331,3 +331,37 @@ def test_encoder_init_geometry_mismatch_errors(tmp_path):
                            "--encoder_heads", "2", "--encoder_n_mels", "32"])
     assert proc.returncode != 0
     assert "geometry mismatch" in proc.stderr + proc.stdout
+
+
+def test_train_ast_sigterm_flushes_best(tmp_path):
+    """`kill <pid>` on a backgrounded run must flush model_best/model_final
+    (backgrounded jobs ignore SIGINT per POSIX job control, so SIGTERM is
+    the only graceful stop an operator can send)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--root_dir", str(root), "--chunk_length", "2.0",
+         "--pretrain_frames", "--epochs", "10000", "--batch_size", "2",
+         "--encoder_layers", "1", "--encoder_dim", "32", "--encoder_heads",
+         "2", "--encoder_n_mels", "32", "--val_split", "validation",
+         "--val_batches", "1", "--run_dir", str(run)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    log = run / "training_log.txt"
+    deadline = time.time() + 240
+    while time.time() < deadline and not (log.exists() and log.read_text()):
+        time.sleep(1.0)
+    assert log.exists(), "training never reached epoch 1"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert (run / "model_best").exists(), out[-2000:]
+    assert (run / "model_final").exists(), out[-2000:]
