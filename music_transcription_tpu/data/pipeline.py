@@ -174,6 +174,111 @@ class Loader:
                 yield self._maybe_pad(self.collate([f.result() for f in fs], pad_to=self.pad_to))
 
 
+def stage_to_device(dataset, collate, *, pad_to: int | None = None,
+                    limit: int | None = None, verbose: bool = False,
+                    num_workers: int = 4):
+    """Stage a whole dataset on device as one stacked batch per field.
+
+    Transfer-once feeding: the jitted train step then receives only int32
+    index vectors (``jnp.take`` gathers the batch on device). Two reasons:
+
+      * HBM-resident data is the TPU-native input path when it fits —
+        zero per-step host->device traffic instead of tens of MB/step;
+      * the tunneled axon backend retains every H2D transfer payload
+        host-side (measured ~1 batch/step RSS growth — a multi-hour
+        training run OOMs the host). Staging bounds the retention at one
+        dataset-sized transfer.
+
+    Returns (device_arrays_tuple, n_items). Fields are whatever ``collate``
+    produces for the full item list.
+    """
+    import jax
+
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    if num_workers > 0:
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            items = list(pool.map(dataset.__getitem__, range(n)))
+    else:
+        items = [dataset[i] for i in range(n)]
+    host = collate(items, pad_to=pad_to)
+    del items
+    if verbose:
+        mb = sum(a.nbytes for a in host) / 1e6
+        print(f"Staging {n} items ({mb:.0f} MB) on device...")
+    dev = tuple(jax.device_put(a) for a in host)
+    jax.block_until_ready(dev)
+    return dev, n
+
+
+def epoch_index_batches(n: int, batch_size: int, *, shuffle: bool = True,
+                        seed: int = 0, epoch: int = 0, drop_last: bool = True):
+    """Index batches for one epoch over a device-staged dataset (the host
+    side of transfer-once feeding: only these int32 vectors cross to the
+    device per step)."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(idx)
+    n_batches = n // batch_size if drop_last else -(-n // batch_size)
+    for b in range(n_batches):
+        yield idx[b * batch_size:(b + 1) * batch_size].astype(np.int32)
+
+
+class DeviceStagedLoader:
+    """Loader-compatible iterable over a device-staged dataset.
+
+    ``stage_to_device`` puts the whole dataset in HBM once; iteration yields
+    device-resident batches gathered by a jitted ``take`` — per-step
+    host->device traffic is one int32 index vector. Single-device staging
+    (mesh runs keep the streaming Loader). With ``pad_last_batch``, the tail
+    batch pads its index vector to full size and zeroes the padded rows'
+    lengths (last collate field), which the masked loss excludes exactly —
+    same contract as Loader(pad_last_batch=True)."""
+
+    def __init__(self, dataset, batch_size: int, *, collate=collate_mel,
+                 pad_to: int | None = None, shuffle: bool = False, seed: int = 0,
+                 num_workers: int = 4, drop_last: bool = False,
+                 pad_last_batch: bool = False, verbose: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        self.arrays, self.n = stage_to_device(
+            dataset, collate, pad_to=pad_to, num_workers=num_workers,
+            verbose=verbose)
+        self.batch_size = batch_size
+        self.shuffle, self.seed = shuffle, seed
+        self.drop_last = drop_last
+        self.pad_last_batch = pad_last_batch and not drop_last
+        self.epoch = 0
+
+        def gather(arrays, idx, n_real):
+            out = tuple(jnp.take(a, idx, axis=0) for a in arrays)
+            # zero padded rows' lengths (no-op for full batches)
+            lengths = jnp.where(jnp.arange(idx.shape[0]) < n_real, out[-1], 0)
+            return out[:-1] + (lengths.astype(out[-1].dtype),)
+
+        self._gather = jax.jit(gather)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            n_real = len(idx)
+            if n_real < self.batch_size and self.pad_last_batch:
+                idx = np.pad(idx, (0, self.batch_size - n_real))
+            yield self._gather(self.arrays, jnp.asarray(idx.astype(np.int32)),
+                               n_real)
+
+
 def device_prefetch(iterator, mesh=None, depth: int = 2, pad_to_mesh: bool = False):
     """Move host batches to device ahead of consumption.
 

@@ -87,6 +87,12 @@ def build_parser():
                    default=0,
                    help="stop when val CE has not improved for N epochs "
                         "(0 = run all --epochs); needs --val_split")
+    p.add_argument("--device_data", "--device-data", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="stage the whole dataset in device HBM once and feed "
+                        "the step index vectors (zero per-step H2D traffic; "
+                        "also bounds the axon client's per-transfer host "
+                        "retention). auto = on-TPU when the data fits")
     p.add_argument("--sanity_checks", "--run_sanity_checks", "--run-sanity-checks",
                    action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--sanity_max_len", "--sanity-max-len", type=int, default=256,
@@ -166,9 +172,18 @@ def pretrain_main(args, subset):
     dataset = make_ds(args.split, subset)
     print(f"Pretrain set: {len(dataset)} chunks (frame-supervised)")
     collate = partial(collate_wave_roll, roll_pad_to=audio_cfg.roll_frames_per_chunk)
-    loader = Loader(dataset, args.batch_size, shuffle=True, seed=args.seed,
-                    num_workers=4, drop_last=True, collate=collate,
-                    pad_to=audio_cfg.chunk_samples)
+
+    est_bytes = len(dataset) * 4 * (audio_cfg.chunk_samples
+                                    + 88 * audio_cfg.roll_frames_per_chunk)
+    staged = args.device_data == "on" or (
+        args.device_data == "auto"
+        and jax.devices()[0].platform != "cpu"
+        and est_bytes < 11e9)
+    loader = None
+    if not staged:
+        loader = Loader(dataset, args.batch_size, shuffle=True, seed=args.seed,
+                        num_workers=4, drop_last=True, collate=collate,
+                        pad_to=audio_cfg.chunk_samples)
 
     model = ASTEncoderPretrainer(
         encoder_layers=args.encoder_layers, encoder_dim=args.encoder_dim,
@@ -189,8 +204,7 @@ def pretrain_main(args, subset):
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables["params"])
 
-    @jax.jit
-    def step(params, opt_state, wave, roll, lengths, rng):
+    def step_core(params, opt_state, wave, roll, lengths, rng):
         def loss_fn(p):
             logits = model.apply({"params": p}, wave, train=True,
                                  rngs={"dropout": rng})
@@ -200,8 +214,17 @@ def pretrain_main(args, subset):
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    step = jax.jit(step_core)
+
     @jax.jit
-    def eval_step(params, wave, roll, lengths):
+    def step_staged(params, opt_state, wave_all, roll_all, len_all, idx, rng):
+        # device-side gather: the only per-step host->device payload is idx
+        return step_core(params, opt_state,
+                         jnp.take(wave_all, idx, axis=0),
+                         jnp.take(roll_all, idx, axis=0),
+                         jnp.take(len_all, idx, axis=0), rng)
+
+    def eval_core(params, wave, roll, lengths):
         logits = model.apply({"params": params}, wave, train=False)
         loss = masked_bce_loss(logits, roll, lengths)
         # framewise tp/fp/fn at threshold 0.5 on the valid frames: a direct
@@ -217,16 +240,44 @@ def pretrain_main(args, subset):
         fn = jnp.sum(~pred & pos)
         return loss, tp, fp, fn
 
+    eval_step = jax.jit(eval_core)
+
+    @jax.jit
+    def eval_staged(params, wave_all, roll_all, len_all, idx):
+        return eval_core(params,
+                         jnp.take(wave_all, idx, axis=0),
+                         jnp.take(roll_all, idx, axis=0),
+                         jnp.take(len_all, idx, axis=0))
+
+    from music_transcription_tpu.data.pipeline import (
+        epoch_index_batches,
+        stage_to_device,
+    )
+
+    train_dev = n_train = None
+    if staged:
+        train_dev, n_train = stage_to_device(
+            dataset, collate, pad_to=audio_cfg.chunk_samples, verbose=True)
+        print(f"Device-staged training data: {n_train} chunks")
+
     val_loader = None
+    val_dev = n_val = None
     if args.val_split:
         val_ds = make_ds(args.val_split)
         if len(val_ds) < args.batch_size:
             raise SystemExit(
                 f"Error: --val_split '{args.val_split}' has {len(val_ds)} "
                 f"chunks < batch_size {args.batch_size}.")
-        val_loader = Loader(val_ds, args.batch_size, shuffle=False,
-                            seed=args.seed, num_workers=2, drop_last=True,
-                            collate=collate, pad_to=audio_cfg.chunk_samples)
+        if staged:
+            # only the first val_batches * batch_size chunks are ever scored
+            # (deterministic order) — stage exactly those
+            val_dev, n_val = stage_to_device(
+                val_ds, collate, pad_to=audio_cfg.chunk_samples,
+                limit=args.val_batches * args.batch_size, verbose=True)
+        else:
+            val_loader = Loader(val_ds, args.batch_size, shuffle=False,
+                                seed=args.seed, num_workers=2, drop_last=True,
+                                collate=collate, pad_to=audio_cfg.chunk_samples)
         print(f"Validation set: {len(val_ds)} chunks "
               f"(up to {args.val_batches} batches/epoch)")
 
@@ -259,26 +310,46 @@ def pretrain_main(args, subset):
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
-            for wave, roll, lengths in loader:
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(wave), jnp.asarray(roll),
-                    jnp.asarray(lengths), sub)
-                total += float(loss)
-                n += 1
+            if staged:
+                for idx in epoch_index_batches(n_train, args.batch_size,
+                                               seed=args.seed, epoch=epoch):
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, loss = step_staged(
+                        params, opt_state, *train_dev, jnp.asarray(idx), sub)
+                    total += float(loss)
+                    n += 1
+            else:
+                for wave, roll, lengths in loader:
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, loss = step(
+                        params, opt_state, jnp.asarray(wave), jnp.asarray(roll),
+                        jnp.asarray(lengths), sub)
+                    total += float(loss)
+                    n += 1
             line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
-            if val_loader is not None:
+            if val_loader is not None or val_dev is not None:
                 vtotal, vn = 0.0, 0
                 tp = fp = fn_ = 0
-                for wave, roll, lengths in val_loader:
-                    vloss, btp, bfp, bfn = eval_step(
-                        params, jnp.asarray(wave), jnp.asarray(roll),
-                        jnp.asarray(lengths))
-                    vtotal += float(vloss)
-                    tp += int(btp); fp += int(bfp); fn_ += int(bfn)
-                    vn += 1
-                    if vn >= args.val_batches:
-                        break
+                if staged:
+                    for idx in epoch_index_batches(n_val, args.batch_size,
+                                                   shuffle=False):
+                        vloss, btp, bfp, bfn = eval_staged(
+                            params, *val_dev, jnp.asarray(idx))
+                        vtotal += float(vloss)
+                        tp += int(btp); fp += int(bfp); fn_ += int(bfn)
+                        vn += 1
+                        if vn >= args.val_batches:
+                            break
+                else:
+                    for wave, roll, lengths in val_loader:
+                        vloss, btp, bfp, bfn = eval_step(
+                            params, jnp.asarray(wave), jnp.asarray(roll),
+                            jnp.asarray(lengths))
+                        vtotal += float(vloss)
+                        tp += int(btp); fp += int(bfp); fn_ += int(bfn)
+                        vn += 1
+                        if vn >= args.val_batches:
+                            break
                 vloss = vtotal / max(1, vn)
                 f1 = 2 * tp / max(1, 2 * tp + fp + fn_)
                 line += f" val_loss={vloss:.4f} val_frame_f1={f1:.4f}"
@@ -287,7 +358,8 @@ def pretrain_main(args, subset):
             print(line, flush=True)
             with open(log_path, "a") as f:
                 f.write(line + "\n")
-            if (args.early_stop_patience and val_loader is not None
+            if (args.early_stop_patience
+                    and (val_loader is not None or val_dev is not None)
                     and epoch - best_epoch >= args.early_stop_patience):
                 print(f"Early stop: no val improvement since epoch {best_epoch} "
                       f"(patience {args.early_stop_patience})")

@@ -101,6 +101,12 @@ def build_parser():
                    choices=["auto", "threefry2x32", "rbg"],
                    help="dropout PRNG: auto = rbg on TPU (cheaper mask "
                         "generation, ~3%% step), threefry on CPU")
+    e.add_argument("--device_data", "--device-data", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="stage the dataset in device HBM once and gather "
+                        "batches on device (zero per-step H2D; bounds the "
+                        "axon client's per-transfer host retention). auto = "
+                        "single-chip TPU runs whose data fits")
     return p
 
 
@@ -231,17 +237,42 @@ def main(argv=None):
         loader_batch = local_batch_size(args.batch_size)
 
     pad_to = audio_cfg.mel_frames_per_chunk  # fixed-shape batches: one compile
-    train_loader = Loader(
-        train_set, loader_batch, shuffle=True, seed=args.seed,
-        num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
-    )
-    # Validation keeps the tail batch (the reference's val loader does not
-    # drop_last): it pads to the full batch size with lengths==0 rows, which
-    # the masked loss excludes exactly — same static shape, every sample seen.
-    val_loader = Loader(
-        val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
-        pad_to=pad_to, pad_last_batch=True,
-    )
+    # Transfer-once feeding (pipeline.DeviceStagedLoader): when the dataset
+    # fits in HBM on a single chip, stage it once and gather batches on
+    # device — zero per-step H2D traffic, and it bounds the axon client's
+    # per-transfer host retention (measured: streamed feeding grows host RSS
+    # by ~1 batch/step and OOMs multi-hour runs).
+    est_bytes = (len(train_set) + len(val_set)) * 4 * pad_to * (args.n_mels + 88 + 1)
+    use_staged = (args.device_data == "on"
+                  or (args.device_data == "auto"
+                      and jax.devices()[0].platform != "cpu"
+                      and len(jax.devices()) == 1 and not multihost
+                      and est_bytes < 11e9))
+    if use_staged:
+        from music_transcription_tpu.data.pipeline import DeviceStagedLoader
+
+        train_loader = DeviceStagedLoader(
+            train_set, loader_batch, shuffle=True, seed=args.seed,
+            num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
+            verbose=True,
+        )
+        val_loader = DeviceStagedLoader(
+            val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
+            pad_to=pad_to, pad_last_batch=True, verbose=True,
+        )
+    else:
+        train_loader = Loader(
+            train_set, loader_batch, shuffle=True, seed=args.seed,
+            num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
+        )
+        # Validation keeps the tail batch (the reference's val loader does
+        # not drop_last): it pads to the full batch size with lengths==0
+        # rows, which the masked loss excludes exactly — same static shape,
+        # every sample seen.
+        val_loader = Loader(
+            val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
+            pad_to=pad_to, pad_last_batch=True,
+        )
     if len(val_loader) == 0:
         val_loader = None
 
