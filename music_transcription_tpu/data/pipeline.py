@@ -237,24 +237,30 @@ class DeviceStagedLoader:
     def __init__(self, dataset, batch_size: int, *, collate=collate_mel,
                  pad_to: int | None = None, shuffle: bool = False, seed: int = 0,
                  num_workers: int = 4, drop_last: bool = False,
-                 pad_last_batch: bool = False, verbose: bool = False):
+                 pad_last_batch: bool = False, verbose: bool = False,
+                 limit: int | None = None):
         import jax
         import jax.numpy as jnp
 
         self.arrays, self.n = stage_to_device(
             dataset, collate, pad_to=pad_to, num_workers=num_workers,
-            verbose=verbose)
+            verbose=verbose, limit=limit)
         self.batch_size = batch_size
         self.shuffle, self.seed = shuffle, seed
         self.drop_last = drop_last
         self.pad_last_batch = pad_last_batch and not drop_last
         self.epoch = 0
 
-        def gather(arrays, idx, n_real):
-            out = tuple(jnp.take(a, idx, axis=0) for a in arrays)
-            # zero padded rows' lengths (no-op for full batches)
-            lengths = jnp.where(jnp.arange(idx.shape[0]) < n_real, out[-1], 0)
-            return out[:-1] + (lengths.astype(out[-1].dtype),)
+        if self.pad_last_batch:
+            # the last collate field must be per-item lengths: padded rows
+            # get length 0 (exactly neutral under the masked loss)
+            def gather(arrays, idx, n_real):
+                out = tuple(jnp.take(a, idx, axis=0) for a in arrays)
+                lengths = jnp.where(jnp.arange(idx.shape[0]) < n_real, out[-1], 0)
+                return out[:-1] + (lengths.astype(out[-1].dtype),)
+        else:
+            def gather(arrays, idx, n_real):
+                return tuple(jnp.take(a, idx, axis=0) for a in arrays)
 
         self._gather = jax.jit(gather)
 

@@ -524,7 +524,20 @@ def main(argv=None):
             tokens = tokenizer.encode_from_pianoroll(second, max_len=args.max_token_len)
             return wave, np.asarray(tokens, np.int64)
 
-    loader = Loader(
+    # Transfer-once feeding when the data fits in HBM (see --device_data /
+    # pipeline.DeviceStagedLoader; both loops here use drop_last, so the
+    # staged loader never pads — tokens are safe as the last field)
+    est_bytes = len(dataset) * 4 * (audio_cfg.chunk_samples + 2 * args.max_token_len)
+    staged = args.device_data == "on" or (
+        args.device_data == "auto"
+        and jax.devices()[0].platform != "cpu"
+        and est_bytes < 11e9)
+    loader_cls = Loader
+    if staged:
+        from music_transcription_tpu.data.pipeline import DeviceStagedLoader
+
+        loader_cls = DeviceStagedLoader
+    loader = loader_cls(
         TokenizingView(dataset), args.batch_size, shuffle=True, seed=args.seed,
         num_workers=4, drop_last=True, collate=collate_tokens,
         pad_to=audio_cfg.chunk_samples,
@@ -599,10 +612,14 @@ def main(argv=None):
                 f"Error: --val_split '{args.val_split}' has {len(val_ds)} "
                 f"chunks < batch_size {args.batch_size}; validation would "
                 f"see zero batches. Shrink --batch_size or use more data.")
-        val_loader = Loader(
+        val_kw = {}
+        if staged:
+            # only the first val_batches * batch_size chunks are ever scored
+            val_kw["limit"] = args.val_batches * args.batch_size
+        val_loader = loader_cls(
             TokenizingView(val_ds, tokenized=val_tokenized), args.batch_size, shuffle=False,
             seed=args.seed, num_workers=2, drop_last=True,
-            collate=collate_tokens, pad_to=audio_cfg.chunk_samples)
+            collate=collate_tokens, pad_to=audio_cfg.chunk_samples, **val_kw)
         print(f"Validation set: {len(val_ds)} chunks "
               f"(up to {args.val_batches} batches/epoch)")
 
