@@ -52,6 +52,12 @@ def build_parser():
                    help="also report frame-level P/R/F1 of the decoded rolls "
                         "vs the ground-truth rolls (reference "
                         "scripts/transformer-draft.ipynb cell 31)")
+    p.add_argument("--teacher_forced", "--teacher-forced", action="store_true",
+                   help="skip generation: measure teacher-forced next-token "
+                        "accuracy (all tokens, and NOTE_ON pitch tokens only). "
+                        "Separates 'the model cannot read pitch from audio' "
+                        "from 'free-running generation drifts' — the round-4 "
+                        "diagnostic that located the AST quality gap")
     p.add_argument("--headless", action="store_true",
                    help="print a final EVAL_AST_NOTE_F1= line")
     return p
@@ -192,6 +198,51 @@ def main(argv=None):
         roll = tokenizer.decode_to_pianoroll(tokens, max_t=4096)
         return [(nt.pitch, nt.start, nt.end)
                 for nt in pianoroll_to_notes(roll, fs=fr)]
+
+    if args.teacher_forced:
+        # One jitted forward per fixed-size batch; logits[:, t] predicts
+        # tokens[:, t+1] (the training alignment, train/loop.py token route).
+        bs = min(8, n)
+        fwd = jax.jit(lambda w, tk: model.apply(
+            variables, w, train=False, targets=tk))
+        n_eff = (n // bs) * bs
+        tot = {"ok": 0, "valid": 0, "pitch_ok": 0, "pitch": 0}
+        pitch_lo = tokenizer.note_on_base
+        # REMI ids cover the 88 piano keys; the event vocab keeps full MIDI 0..127
+        pitch_hi = pitch_lo + (128 if args.tokenizer == "event" else 88)
+        for b0 in range(0, n_eff, bs):
+            ws, tks = [], []
+            for i in range(b0, b0 + bs):
+                wave, second = dataset[i]
+                if pretokenized:
+                    tk = np.asarray(second).astype(np.int32)
+                else:
+                    tk = np.asarray(tokenizer.encode_from_pianoroll(
+                        np.asarray(second), max_len=args.max_len),
+                        dtype=np.int32)
+                ws.append(np.asarray(wave))
+                tks.append(tk)
+            w = jnp.asarray(np.stack(ws))
+            tk = jnp.asarray(np.stack(tks))
+            pred = np.asarray(jnp.argmax(fwd(w, tk), -1))
+            tgt = np.asarray(tk)[:, 1:]
+            prd = pred[:, : tgt.shape[1]]
+            valid = tgt != tokenizer.pad
+            is_pitch = (tgt >= pitch_lo) & (tgt < pitch_hi) & valid
+            tot["ok"] += int(((prd == tgt) & valid).sum())
+            tot["valid"] += int(valid.sum())
+            tot["pitch_ok"] += int(((prd == tgt) & is_pitch).sum())
+            tot["pitch"] += int(is_pitch.sum())
+        acc = tot["ok"] / max(1, tot["valid"])
+        pacc = tot["pitch_ok"] / max(1, tot["pitch"])
+        print(f"Teacher-forced next-token acc={acc:.4f} "
+              f"NOTE_ON-pitch acc={pacc:.4f} "
+              f"({tot['pitch']} pitch tokens of {tot['valid']} valid, "
+              f"{n_eff} samples; chance ~1/88)")
+        if args.headless:
+            print(f"EVAL_AST_TF_ACC={acc:.6f}")
+            print(f"EVAL_AST_TF_PITCH_ACC={pacc:.6f}")
+        return 0
 
     totals = {"tp": 0, "fp": 0, "fn": 0}
     frame = {"tp": 0, "pred": 0, "gt": 0}

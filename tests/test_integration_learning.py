@@ -126,3 +126,20 @@ def test_ast_learns_token_route(tmp_path):
     assert line, proc.stdout[-2000:]
     note_f1 = float(line[0].split("=")[1])
     assert note_f1 >= 0.5, f"note-level F1 {note_f1} too low for an overfit model\n{proc.stdout[-1500:]}"
+
+    # --teacher_forced skips generation and scores next-token prediction;
+    # on an overfit fixture the NOTE_ON-pitch accuracy must be far above
+    # the ~1/88 chance floor.
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate_ast.py"),
+         "--model", str(ckpt), "--root_dir", str(root), "--split", "train",
+         "--max_len", "64", "--device", "cpu", "--headless",
+         "--teacher_forced"],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert proc.returncode == 0, f"evaluate_ast --teacher_forced: " \
+        f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    line = [l for l in proc.stdout.splitlines()
+            if l.startswith("EVAL_AST_TF_PITCH_ACC=")]
+    assert line, proc.stdout[-2000:]
+    assert float(line[0].split("=")[1]) >= 0.5, proc.stdout[-1500:]
