@@ -93,6 +93,20 @@ def build_parser():
                         "the step index vectors (zero per-step H2D traffic; "
                         "also bounds the axon client's per-transfer host "
                         "retention). auto = on-TPU when the data fits")
+    p.add_argument("--scheduled_sampling", "--scheduled-sampling", type=float,
+                   default=0.0,
+                   help="exposure-bias fix (Bengio et al. 2015 curriculum): "
+                        "with probability p, decoder input positions are "
+                        "replaced by the model's own teacher-forced argmax "
+                        "predictions (two-pass step; first pass is "
+                        "gradient-stopped). p ramps linearly from 0 to this "
+                        "value over --ss_ramp_epochs. Motivated by the "
+                        "round-4 diagnostic: teacher-forced pitch accuracy "
+                        "0.57 vs free-running note-F1 0.11 -- the gap IS "
+                        "exposure bias")
+    p.add_argument("--ss_ramp_epochs", "--ss-ramp-epochs", type=int, default=10,
+                   help="epochs to ramp --scheduled_sampling from 0 to its "
+                        "final value")
     p.add_argument("--sanity_checks", "--run_sanity_checks", "--run-sanity-checks",
                    action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--sanity_max_len", "--sanity-max-len", type=int, default=256,
@@ -570,16 +584,36 @@ def main(argv=None):
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables["params"])
 
+    use_ss = args.scheduled_sampling > 0.0
+
     @jax.jit
-    def step(params, opt_state, wave, tokens, rng):
+    def step(params, opt_state, wave, tokens, rng, ss_p):
         def loss_fn(p):
             # Next-token objective: the decoder consumes tokens[:, :-1] and
             # predicts tokens[:, 1:]. (The reference trains UNSHIFTED —
             # logits at t scored against the token just fed at t — which a
             # decoder solves by copying its input and never learns
             # generation; fixed here deliberately.)
+            inp = tokens[:, :-1]
+            if use_ss:
+                # Scheduled sampling: a gradient-stopped teacher-forced pass
+                # produces the model's own next-token argmax; with prob ss_p
+                # each input position (never the <sos>) is replaced by that
+                # prediction, so training sees the mistake distribution
+                # generation will actually condition on.
+                tf_logits = model.module.apply(
+                    {"params": p}, wave, targets=inp, train=False)
+                # logits[:, t] predicts tokens[:, t+1] == inp[:, t+1]
+                pred_in = jnp.concatenate(
+                    [inp[:, :1],
+                     jnp.argmax(tf_logits[:, :-1], -1).astype(inp.dtype)], 1)
+                pred_in = jax.lax.stop_gradient(pred_in)
+                mix_rng, _ = jax.random.split(jax.random.fold_in(rng, 1))
+                mask = jax.random.bernoulli(mix_rng, ss_p, inp.shape)
+                mask = mask.at[:, 0].set(False)
+                inp = jnp.where(mask, pred_in, inp)
             logits = model.module.apply(
-                {"params": p}, wave, targets=tokens[:, :-1], train=True,
+                {"params": p}, wave, targets=inp, train=True,
                 rngs={"dropout": rng},
             )
             return model.loss(logits, tokens[:, 1:])
@@ -648,6 +682,9 @@ def main(argv=None):
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
+            # linear ramp 0 -> scheduled_sampling over ss_ramp_epochs
+            ss_p = args.scheduled_sampling * min(
+                1.0, epoch / max(1, args.ss_ramp_epochs))
             for wave, tokens in loader:
                 tk = np.asarray(tokens)
                 if tk.min() < 0 or tk.max() >= args.remi_vocab_size:
@@ -658,11 +695,14 @@ def main(argv=None):
                     )
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(wave), jnp.asarray(tokens), sub
+                    params, opt_state, jnp.asarray(wave), jnp.asarray(tokens),
+                    sub, jnp.float32(ss_p),
                 )
                 total += float(loss)
                 n += 1
             line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
+            if use_ss:
+                line += f" ss_p={ss_p:.2f}"
             if val_loader is not None:
                 vtotal, vn = 0.0, 0
                 for wave, tokens in val_loader:

@@ -190,6 +190,33 @@ def test_train_ast_cli_val_tracking(tmp_path):
     assert (run / "model_final" / "config.json").exists()
 
 
+def test_train_ast_cli_scheduled_sampling(tmp_path):
+    """--scheduled_sampling trains through the two-pass step and logs the
+    linearly ramped ss_p per epoch."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--root_dir", str(root), "--chunk_length", "2.0",
+         "--epochs", "2", "--batch_size", "2", "--max_token_len", "32",
+         "--decoder_layers", "1", "--decoder_dim", "32", "--decoder_heads", "2",
+         "--mock_encoder", "--no-sanity_checks",
+         "--scheduled_sampling", "0.5", "--ss_ramp_epochs", "2",
+         "--run_dir", str(run)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    log = (run / "training_log.txt").read_text().splitlines()
+    assert "ss_p=0.25" in log[0] and "ss_p=0.50" in log[1], log
+
+
 def _run_train_ast(args, timeout=600):
     import os
     import subprocess
