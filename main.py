@@ -49,7 +49,19 @@ def main():
              "the per-audio-second cost. Use for seam-sensitive output, "
              "not for quality.",
     )
+    parser.add_argument(
+        "--overlap", type=float, default=0.0,
+        help="Chunk overlap in seconds (e.g. 4). Chunks are run overlapped "
+             "and each output frame is taken from a window where it sits in "
+             "the interior — removing chunk-seam artifacts at ~chunk/"
+             "(chunk-overlap)x cost (cheaper than --window for the same "
+             "effect). 0 = reference-exact non-overlapping chunks.",
+    )
     args = parser.parse_args()
+    if args.overlap and args.window:
+        print("Error: --overlap and --window are alternative seam "
+              "strategies; pass one.")
+        sys.exit(1)
 
     if args.device:
         os.environ["JAX_PLATFORMS"] = {"tpu": "axon,tpu,cpu", "cpu": "cpu"}[args.device]
@@ -77,6 +89,7 @@ def main():
         output_path = transcribe_audio(
             args.audio_file, args.model_file, args.output,
             threshold=args.threshold, window=args.window,
+            overlap=args.overlap,
         )
         print("=" * 60)
         print("Transcription completed successfully!")

@@ -230,14 +230,29 @@ def fix_length(y: np.ndarray, size: int) -> np.ndarray:
     return y
 
 
-def split_into_chunks(y: np.ndarray, chunk_samples: int) -> np.ndarray:
+def split_into_chunks(y: np.ndarray, chunk_samples: int,
+                      hop_samples: int | None = None) -> np.ndarray:
     """(n,) audio -> (num_chunks, chunk_samples), zero-padding the tail.
 
     The batched equivalent of the reference's chunk loop
     (reference main.py:86-97): chunks become a batch dimension so the whole
     recording runs through the model as one device batch.
+
+    ``hop_samples`` < ``chunk_samples`` produces overlapping windows (chunk
+    i starts at ``i * hop_samples``); pair with ``transcribe.stitch_rolls``,
+    which keeps each chunk's interior so boundary frames never come from a
+    window edge. Default (None) is the reference's non-overlapping layout.
     """
     n = y.shape[-1]
-    num_chunks = max(1, -(-n // chunk_samples))
-    padded = fix_length(y, num_chunks * chunk_samples)
-    return padded.reshape(num_chunks, chunk_samples)
+    if hop_samples is None or hop_samples >= chunk_samples:
+        num_chunks = max(1, -(-n // chunk_samples))
+        padded = fix_length(y, num_chunks * chunk_samples)
+        return padded.reshape(num_chunks, chunk_samples)
+    if hop_samples <= 0:
+        raise ValueError(f"hop_samples must be positive, got {hop_samples}")
+    num_chunks = 1 + max(0, -(-(n - chunk_samples) // hop_samples))
+    padded = fix_length(y, (num_chunks - 1) * hop_samples + chunk_samples)
+    out = np.empty((num_chunks, chunk_samples), padded.dtype)
+    for i in range(num_chunks):
+        out[i] = padded[i * hop_samples: i * hop_samples + chunk_samples]
+    return out

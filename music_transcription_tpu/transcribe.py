@@ -98,13 +98,48 @@ def _chunks_to_rolls(module, variables, chunks, threshold, audio_cfg: AudioConfi
     return _rolls_local(module, variables, chunks, threshold, audio_cfg)
 
 
+def stitch_rolls(rolls: np.ndarray, hop_frames: int) -> np.ndarray:
+    """(N, 88, T) per-chunk rolls from OVERLAPPING chunks -> (88, total) roll.
+
+    Chunk i covers absolute frames [i*hop, i*hop + T). Each frame is taken
+    from the chunk whose interior covers it: chunk i contributes
+    [i*hop + lo, i*hop + T - hi) with lo = hi = (T - hop)//2 (first chunk
+    keeps its left edge, last its right edge). Seam frames of the
+    non-overlapping layout therefore come from the *middle* of a window,
+    where the model has full context — the fix for the measured seam cost
+    (seam-band F1 0.847 vs interior 0.934 at overlap 0, DESIGN.md).
+    """
+    n, _, t = rolls.shape
+    if hop_frames >= t or n == 1:
+        return np.concatenate(list(rolls), axis=1)
+    half = (t - hop_frames) // 2
+    total = (n - 1) * hop_frames + t
+    out = np.zeros((rolls.shape[1], total), rolls.dtype)
+    for i in range(n):
+        lo = 0 if i == 0 else half
+        hi = t if i == n - 1 else t - (t - hop_frames - half)
+        out[:, i * hop_frames + lo: i * hop_frames + hi] = rolls[i][:, lo:hi]
+    return out
+
+
 def transcribe_chunks(
     loaded: LoadedModel,
     chunks: np.ndarray,
     threshold: float = 0.5,
     mesh=None,
+    hop_frames: int | None = None,
 ) -> np.ndarray:
-    """(num_chunks, chunk_samples) -> concatenated (88, num_chunks*T) roll."""
+    """(num_chunks, chunk_samples) -> concatenated (88, num_chunks*T) roll.
+
+    With ``hop_frames`` (chunks built by ``split_into_chunks(...,
+    hop_samples)``), per-chunk rolls are stitched via ``stitch_rolls``
+    instead of concatenated."""
+
+    def _combine(rolls):
+        if hop_frames is not None:
+            return stitch_rolls(np.asarray(rolls), hop_frames)
+        return np.concatenate(list(rolls), axis=1)  # main.py:164-186
+
     if loaded.model.config.is_ast:
         # Token-generation path (the notebooks' generate_from_audio,
         # reference transformer_draft.ipynb cell 8): generate REMI tokens per
@@ -117,7 +152,7 @@ def transcribe_chunks(
         rolls = np.asarray(rolls)
         out = np.zeros((rolls.shape[0], 88, max_t), np.float32)
         out[:, :, : rolls.shape[2]] = rolls[:, :, :max_t]
-        return np.concatenate(list(out), axis=1)
+        return _combine(out)
     n_real = chunks.shape[0]
     if mesh is None and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh()
@@ -149,7 +184,7 @@ def transcribe_chunks(
 
         rolls = sharded_pipeline(variables, device_chunks, jnp.float32(threshold))
         rolls = np.asarray(rolls)[:n_real]
-        return np.concatenate(list(rolls), axis=1)
+        return _combine(rolls)
     else:
         # Bucket the chunk count to the next power of two so serving many
         # recordings compiles O(log N) programs, not one per length
@@ -166,7 +201,7 @@ def transcribe_chunks(
         loaded.model.module, variables, device_chunks, threshold, loaded.audio_cfg
     )
     rolls = np.asarray(rolls)[:n_real]  # (N, 88, T)
-    return np.concatenate(list(rolls), axis=1)  # (88, N*T) — main.py:164-186
+    return _combine(rolls)  # (88, N*T) when hop_frames is None
 
 
 class Transcriber:
@@ -176,7 +211,7 @@ class Transcriber:
 
     def __init__(self, checkpoint_path, model_cfg=None, audio_cfg=None, mesh=None,
                  threshold: float = 0.5, use_pallas_lstm: bool | None = None,
-                 window: float | None = None):
+                 window: float | None = None, overlap: float = 0.0):
         import dataclasses
 
         if use_pallas_lstm is None:
@@ -232,17 +267,40 @@ class Transcriber:
         )
         self.mesh = mesh
         self.threshold = threshold
+        self.hop_samples = None
+        self.hop_frames = None
+        if overlap and overlap > 0.0:
+            # Overlapped chunks + interior-keep stitching (stitch_rolls):
+            # removes the measured seam cost of hard chunk boundaries.
+            acfg = self.loaded.audio_cfg
+            if self.loaded.model.config.is_ast:
+                raise ValueError(
+                    "overlap applies to CNN-RNN checkpoints (frame grid "
+                    "stitching); the AST token route has no frame alignment")
+            if not overlap < acfg.chunk_length:
+                raise ValueError(
+                    f"overlap ({overlap}s) must be smaller than the "
+                    f"inference window ({acfg.chunk_length}s)")
+            hop_s = acfg.chunk_samples - int(round(overlap * acfg.sample_rate))
+            # snap the hop to the mel hop grid so chunk i's frame f IS
+            # global frame i*hop_frames + f (exact, no resampling)
+            hop_s = max(acfg.hop_length,
+                        (hop_s // acfg.hop_length) * acfg.hop_length)
+            self.hop_samples = hop_s
+            self.hop_frames = hop_s // acfg.hop_length
 
     def transcribe_array(self, y: np.ndarray, threshold: float | None = None) -> list:
         """float mono audio at the model sample rate -> list[Note]."""
         from music_transcription_tpu.data import midi as midi_io
 
         acfg = self.loaded.audio_cfg
-        chunks = audio_io.split_into_chunks(np.asarray(y, np.float32), acfg.chunk_samples)
+        chunks = audio_io.split_into_chunks(np.asarray(y, np.float32),
+                                            acfg.chunk_samples,
+                                            hop_samples=self.hop_samples)
         roll = transcribe_chunks(
             self.loaded, chunks,
             threshold=self.threshold if threshold is None else threshold,
-            mesh=self.mesh,
+            mesh=self.mesh, hop_frames=self.hop_frames,
         )
         return midi_io.pianoroll_to_notes(roll, fs=acfg.frame_rate)
 
@@ -269,6 +327,7 @@ def transcribe_audio(
     mesh=None,
     verbose: bool = True,
     window: float | None = None,
+    overlap: float = 0.0,
 ):
     """Full pipeline (reference main.py:229-287). Returns the MIDI path."""
 
@@ -280,7 +339,7 @@ def transcribe_audio(
     # TPU, scan elsewhere) and carries the loaded model state.
     server = Transcriber(
         checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg,
-        mesh=mesh, threshold=threshold, window=window,
+        mesh=mesh, threshold=threshold, window=window, overlap=overlap,
     )
     loaded = server.loaded
     acfg = loaded.audio_cfg
@@ -290,11 +349,15 @@ def transcribe_audio(
     duration = len(y) / acfg.sample_rate
     log(f"Audio duration: {duration:.2f} seconds")
 
-    chunks = audio_io.split_into_chunks(y, acfg.chunk_samples)
-    log(f"Split audio into {chunks.shape[0]} chunks of {acfg.chunk_length}s each "
-        f"(batched on device)")
+    chunks = audio_io.split_into_chunks(y, acfg.chunk_samples,
+                                        hop_samples=server.hop_samples)
+    log(f"Split audio into {chunks.shape[0]} chunks of {acfg.chunk_length}s each"
+        + (f" (hop {server.hop_samples / acfg.sample_rate:.2f}s, stitched)"
+           if server.hop_samples else "")
+        + " (batched on device)")
 
-    combined = transcribe_chunks(loaded, chunks, threshold=threshold, mesh=mesh)
+    combined = transcribe_chunks(loaded, chunks, threshold=threshold, mesh=mesh,
+                                 hop_frames=server.hop_frames)
 
     log("Converting to MIDI...")
     notes = midi_io.pianoroll_to_notes(combined, fs=acfg.frame_rate)

@@ -54,6 +54,10 @@ def build_parser():
                         "full-length MIDI rolls, with seam-vs-interior F1 "
                         "breakdown. Raw data source only; uses --threshold "
                         "(tune it on a cache/val split first).")
+    p.add_argument("--overlap", type=float, default=0.0,
+                   help="chunk overlap in seconds for --full_pieces "
+                        "(transcribe.stitch_rolls interior-keep stitching); "
+                        "0 = reference-exact non-overlapping chunks")
     p.add_argument("--seam_frames", type=int, default=8,
                    help="half-width (frames, 31.25 fps) of the boundary band "
                         "around chunk seams for --full_pieces analysis")
@@ -149,13 +153,25 @@ def full_piece_eval(args, loaded, audio_cfg, n_mels, source_path):
         return 1
     t_chunk = audio_cfg.mel_frames_per_chunk
     w = max(1, args.seam_frames)
+    hop_samples = hop_frames = None
+    if args.overlap and args.overlap > 0.0:
+        # mirror Transcriber(overlap=...): hop snapped to the mel hop grid
+        hop_samples = audio_cfg.chunk_samples - int(
+            round(args.overlap * audio_cfg.sample_rate))
+        hop_samples = max(audio_cfg.hop_length,
+                          (hop_samples // audio_cfg.hop_length)
+                          * audio_cfg.hop_length)
+        hop_frames = hop_samples // audio_cfg.hop_length
     f1s, onset_f1s = [], []
     seam = np.zeros(3, np.int64)  # tp, fp, fn on boundary-band frames
     interior = np.zeros(3, np.int64)
     for i in range(n_eval):
         wave, roll = ds[i]
-        chunks = split_into_chunks(np.asarray(wave), audio_cfg.chunk_samples)
-        pred = np.asarray(transcribe_chunks(loaded, chunks, threshold=args.threshold))
+        chunks = split_into_chunks(np.asarray(wave), audio_cfg.chunk_samples,
+                                   hop_samples=hop_samples)
+        pred = np.asarray(transcribe_chunks(loaded, chunks,
+                                            threshold=args.threshold,
+                                            hop_frames=hop_frames))
         t = min(pred.shape[1], roll.shape[1])
         p, g = pred[:, :t] > 0, np.asarray(roll)[:, :t] > 0
         f1s.append(E.f1_from_counts(int((p & g).sum()), int((p & ~g).sum()),
@@ -165,11 +181,16 @@ def full_piece_eval(args, loaded, audio_cfg, n_mels, source_path):
                 p.astype(np.float32), g.astype(np.float32),
                 fs=audio_cfg.frame_rate, tolerance_s=args.onset_tolerance)
             onset_f1s.append(of1)
-        # seam band: ±w frames around interior chunk boundaries k*t_chunk
+        # seam band: ±w frames around the points where the output switches
+        # source chunk — k*t_chunk for the concat layout; the stitch switch
+        # points k*hop + (t_chunk-hop)//2 for the overlapped layout
         idx = np.arange(t)
         near = np.zeros(t, bool)
         for k in range(1, chunks.shape[0]):
-            b = k * t_chunk
+            if hop_frames is not None:
+                b = k * hop_frames + (t_chunk - hop_frames) // 2
+            else:
+                b = k * t_chunk
             near |= np.abs(idx - b) < w
         for mask, acc in ((near, seam), (~near, interior)):
             pm, gm = p[:, mask], g[:, mask]
@@ -202,6 +223,9 @@ def full_piece_eval(args, loaded, audio_cfg, n_mels, source_path):
     extra = {"model": args.model, "split": args.split, "source": "raw full pieces",
              "seam F1 (±{} frames)".format(w): f"{seam_f1:.6f}",
              "interior F1": f"{interior_f1:.6f}"}
+    if hop_frames is not None:
+        extra["overlap"] = (f"{args.overlap}s (hop {hop_frames} frames, "
+                            f"stitched)")
     if onset_f1s:
         extra["mean onset F1"] = f"{float(np.mean(onset_f1s)):.6f}"
     E.write_summary(os.path.join(run_dir, "eval_summary.txt"),

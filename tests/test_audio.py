@@ -116,6 +116,23 @@ def test_split_short_audio_single_chunk():
     assert chunks.shape == (1, 1000)
 
 
+def test_split_into_chunks_overlapped():
+    y = np.arange(2500, dtype=np.float32)
+    chunks = A.split_into_chunks(y, 1000, hop_samples=600)
+    # starts at 0, 600, 1200, 1800 (1800+1000 covers 2500 padded to 2800)
+    assert chunks.shape == (4, 1000)
+    assert np.array_equal(chunks[0], y[:1000])
+    assert np.array_equal(chunks[1], y[600:1600])
+    assert np.array_equal(chunks[3, :700], y[1800:2500])
+    assert chunks[3, 700:].sum() == 0  # zero-padded tail
+    # hop >= chunk falls back to the non-overlapping layout
+    assert np.array_equal(A.split_into_chunks(y, 1000, hop_samples=1000),
+                          A.split_into_chunks(y, 1000))
+    # short audio still yields one chunk
+    assert A.split_into_chunks(np.ones(10, np.float32), 1000,
+                               hop_samples=600).shape == (1, 1000)
+
+
 def test_fix_length():
     y = np.arange(5.0)
     assert A.fix_length(y, 3).tolist() == [0, 1, 2]

@@ -310,3 +310,11 @@ def test_evaluate_cli_full_pieces_seam(eval_setup, tmp_path):
          "test", "--full_pieces", "--headless"], d)
     assert proc2.returncode != 0
     assert "raw data source" in proc2.stdout
+    # overlapped-chunk stitched inference scores through the same keys
+    proc3 = _run_eval(
+        ["--model", str(ckpt), "--root_dir", str(root), "--data_source",
+         "full", "--split", "train", "--full_pieces", "--overlap", "0.5",
+         "--headless"], d)
+    assert proc3.returncode == 0, proc3.stdout + proc3.stderr
+    for key in ("EVAL_MEAN_F1=", "EVAL_SEAM_F1=", "EVAL_INTERIOR_F1="):
+        assert key in proc3.stdout, proc3.stdout

@@ -208,6 +208,69 @@ def test_window_mode_overrides_chunk_length(tmp_path):
         assert spurious <= 0.6, notes
 
 
+def test_stitch_rolls_band_ownership():
+    """Each output frame comes from exactly the chunk whose interior covers
+    it, the bands tile the timeline, and hop >= T degrades to concat."""
+    import numpy as np
+
+    n, t, hop = 4, 10, 6  # overlap 4, half = 2
+    rolls = np.zeros((n, 88, t), np.float32)
+    for i in range(n):
+        rolls[i] = i + 1  # mark the source chunk
+    out = T.stitch_rolls(rolls, hop)
+    assert out.shape == (88, (n - 1) * hop + t)
+    # chunk0 keeps [0, hop+half)=..8, chunk i keeps [i*hop+2, i*hop+8),
+    # last keeps through its right edge
+    expect = np.concatenate([
+        np.full(8, 1.0), np.full(6, 2.0), np.full(6, 3.0), np.full(8, 4.0)])
+    assert np.array_equal(out[0], expect), out[0]
+    # no overlap: exact concat semantics
+    assert np.array_equal(T.stitch_rolls(rolls, t),
+                          np.concatenate(list(rolls), axis=1))
+
+
+def test_overlap_mode_stitches(tmp_path):
+    """Transcriber(overlap=...) must agree with the non-overlapping path on
+    the trained demo checkpoint (same weights; only seam frames may move)."""
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "assets", "demo_checkpoint")
+    root = make_maestro_root(tmp_path / "maestro")
+    wav = os.path.join(root, "2017", "piece1.wav")  # pitch 72 held 6 s / 6.5 s
+
+    srv_plain = T.Transcriber(ckpt, threshold=0.35)
+    srv_ov = T.Transcriber(ckpt, threshold=0.35, overlap=0.5)
+    acfg = srv_ov.loaded.audio_cfg
+    assert srv_ov.hop_samples is not None
+    assert srv_ov.hop_samples % acfg.hop_length == 0  # frame-grid aligned
+    assert srv_ov.hop_samples < acfg.chunk_samples
+
+    from music_transcription_tpu.data import audio as audio_io
+
+    y, _ = audio_io.load_audio(wav, sr=16000, mono=True)
+    notes_p = srv_plain.transcribe_array(y)
+    notes_o = srv_ov.transcribe_array(y)
+
+    def coverage(notes, pitch):
+        return sum(n.end - n.start for n in notes if n.pitch == pitch)
+
+    assert coverage(notes_o, 72) >= 5.0, notes_o
+    assert abs(coverage(notes_p, 72) - coverage(notes_o, 72)) <= 0.8, (
+        notes_p, notes_o)
+    spurious = sum(n.end - n.start for n in notes_o if n.pitch != 72)
+    assert spurious <= 0.6, notes_o
+
+
+def test_overlap_mode_rejects_bad_args(tmp_path):
+    import pytest as _pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "assets", "demo_checkpoint")
+    with _pytest.raises(ValueError, match="overlap"):
+        T.Transcriber(ckpt, overlap=2.0)  # == chunk length (2 s demo ckpt)
+
+
 def test_window_mode_rejects_ast(tmp_path):
     import pytest as _pytest
 
