@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--out_dir", type=str, default=None,
                    help="where MIDI goes (default: next to the input)")
     p.add_argument("--poll", type=float, default=2.0, help="watch-mode poll interval (s)")
+    p.add_argument("--overlap", type=float, default=0.0,
+                   help="chunk overlap in seconds (stitched interior-keep "
+                        "inference, see main.py --overlap)")
     p.add_argument("--once", action="store_true",
                    help="watch mode: process what's there now, then exit")
     return p
@@ -64,7 +67,8 @@ def main(argv=None):
     from music_transcription_tpu.transcribe import Transcriber
 
     print(f"Loading model from {args.model} (devices: {jax.devices()})...", flush=True)
-    server = Transcriber(args.model, threshold=args.threshold)
+    server = Transcriber(args.model, threshold=args.threshold,
+                         overlap=args.overlap)
 
     def handle(path) -> str | None:
         t0 = time.perf_counter()
