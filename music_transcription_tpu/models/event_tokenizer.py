@@ -50,6 +50,34 @@ class EventMIDITokenizer:
                 f"vocab_size too small; need >= {needed}, got {self.vocab_size}"
             )
 
+    # -------------------------------------------------------------- grammar
+    def transition_mask(self):
+        """(V, V) bool successor table of ``encode_notes``'s grammar.
+
+        Looser than REMI's: events carry no velocity and truncation may cut
+        the stream anywhere, so any of {NOTE_ON, NOTE_OFF, TIME_SHIFT, EOS}
+        may follow an event token. <sos> -> {NOTE_ON, TIME_SHIFT} (a frame-0
+        event is necessarily an on: offs land at frame >= on+1);
+        <eos>/<pad> -> <pad>. Gap ids (138..159, 288..319, tail) keep
+        all-False rows. For grammar-constrained decoding
+        (TranscriptionTransformer.generate ``allowed_next``)."""
+        v = self.vocab_size
+        on = np.zeros(v, bool)
+        on[self.note_on_base:self.note_on_base + 128] = True
+        off = np.zeros(v, bool)
+        off[self.note_off_base:self.note_off_base + 128] = True
+        shift = np.zeros(v, bool)
+        shift[self.time_shift_base:self.time_shift_base + self.max_time_shift] = True
+
+        mask = np.zeros((v, v), bool)
+        event = on | off | shift
+        mask[self.sos] = on | shift
+        mask[event] = event
+        mask[event, self.eos] = True
+        mask[self.eos, self.pad] = True
+        mask[self.pad, self.pad] = True
+        return mask
+
     # ------------------------------------------------------------ token ids
     def note_on_id(self, pitch: int) -> int:
         return self.note_on_base + int(pitch)

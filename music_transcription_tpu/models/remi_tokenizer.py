@@ -52,6 +52,40 @@ class REMITokenizer:
         frames = max(1, min(self.max_time_shift, int(frames)))
         return self._safe_id(self.time_shift_base + (frames - 1))
 
+    # -------------------------------------------------------------- grammar
+    def transition_mask(self) -> np.ndarray:
+        """(V, V) bool successor table of the encoder's grammar.
+
+        ``mask[prev, nxt]`` is True iff ``nxt`` may follow ``prev`` in any
+        sequence ``encode_from_pianoroll`` can emit: NOTE_ON -> VELOCITY;
+        VELOCITY -> {NOTE_ON, NOTE_OFF, TIME_SHIFT}; NOTE_OFF -> {NOTE_OFF,
+        TIME_SHIFT} (ons precede offs inside a frame group); TIME_SHIFT ->
+        {NOTE_ON, NOTE_OFF, TIME_SHIFT, EOS} (EOS always follows a shift);
+        <sos> -> {NOTE_ON, TIME_SHIFT} (no offs from the all-zero state);
+        <eos>/<pad> -> <pad>. Rows for gap ids (unreachable under the
+        grammar) stay all-False. Used for grammar-constrained decoding
+        (TranscriptionTransformer.generate ``allowed_next``)."""
+        v = self.vocab_size
+        on = np.zeros(v, bool)
+        on[self.note_on_base:self.note_on_base + 88] = True
+        off = np.zeros(v, bool)
+        off[self.note_off_base:self.note_off_base + 88] = True
+        vel = np.zeros(v, bool)
+        vel[self.velocity_base:self.velocity_base + 33] = True
+        shift = np.zeros(v, bool)
+        shift[self.time_shift_base:self.time_shift_base + self.max_time_shift] = True
+
+        mask = np.zeros((v, v), bool)
+        mask[self.sos] = on | shift
+        mask[on] = vel
+        mask[vel] = on | off | shift
+        mask[off] = off | shift
+        mask[shift] = on | off | shift
+        mask[shift, self.eos] = True
+        mask[self.eos, self.pad] = True
+        mask[self.pad, self.pad] = True
+        return mask
+
     # --------------------------------------------------------------- encode
     def encode_from_pianoroll(self, piano_roll, frame_rate: int = 100, max_len: int = 256):
         """(88, T) or (T, 88) roll -> token id list of length max_len."""

@@ -317,11 +317,19 @@ class ASTTranscriber(nn.Module):
         top_k: int = 0,
         mask_sos: bool = True,
         repetition_penalty: float = 0.0,
+        allowed_next=None,
         rng=None,
     ):
         """KV-cached autoregressive decode (reference transformer_model.py:305-392
         semantics: greedy default, optional sampling/top-k, SOS masking after
-        step 0, count-based repetition penalty). Returns (B, max_len) ids."""
+        step 0, count-based repetition penalty). Returns (B, max_len) ids.
+
+        ``allowed_next`` enables grammar-constrained decoding: a (V, V) bool
+        successor table (tokenizer ``transition_mask()``) whose row for the
+        previously emitted token masks the logits, so free-running decode
+        can only produce sequences the tokenizer's encoder could emit. The
+        reference has no counterpart; it directly targets the exposure-bias
+        drift its greedy decode suffers from."""
         b = memory.shape[0]
         if rng is None:
             rng = jax.random.key(0)
@@ -348,6 +356,10 @@ class ASTTranscriber(nn.Module):
                 )
             if repetition_penalty and repetition_penalty > 0.0:
                 logits = logits - repetition_penalty * counts
+            if allowed_next is not None:
+                # tok is the previously emitted token; its successor row
+                # vetoes grammar-illegal continuations outright.
+                logits = jnp.where(allowed_next[tok], logits, -1e9)
             if do_sample:
                 sample_logits = logits / jnp.maximum(1e-8, temperature)
                 if top_k and top_k > 0:

@@ -58,6 +58,12 @@ def build_parser():
                         "Separates 'the model cannot read pitch from audio' "
                         "from 'free-running generation drifts' — the round-4 "
                         "diagnostic that located the AST quality gap")
+    p.add_argument("--constrained", action="store_true",
+                   help="grammar-constrained decoding: mask logits with the "
+                        "tokenizer's transition_mask() so generation can only "
+                        "emit sequences the encoder could produce (e.g. REMI "
+                        "NOTE_ON must be followed by VELOCITY). Targets "
+                        "free-running drift; no reference counterpart")
     p.add_argument("--headless", action="store_true",
                    help="print a final EVAL_AST_NOTE_F1= line")
     return p
@@ -247,6 +253,9 @@ def main(argv=None):
     totals = {"tp": 0, "fp": 0, "fn": 0}
     frame = {"tp": 0, "pred": 0, "gt": 0}
     per_sample = []
+    gen_kwargs = {}
+    if args.constrained:
+        gen_kwargs["allowed_next"] = jnp.asarray(tokenizer.transition_mask())
     for i in range(n):
         wave, second = dataset[i]
         if pretokenized:
@@ -255,7 +264,8 @@ def main(argv=None):
             gt_tokens = tokenizer.encode_from_pianoroll(
                 np.asarray(second), max_len=args.max_len)
         gen = model.apply(variables, jnp.asarray(wave)[None], train=False,
-                          targets=None, generate_max_len=args.max_len)
+                          targets=None, generate_max_len=args.max_len,
+                          **gen_kwargs)
         gen_tokens = trim_tokens(np.asarray(gen[0]).tolist(),
                                  eos_id=tokenizer.eos, pad_id=tokenizer.pad)
         gt_tokens = trim_tokens(gt_tokens, eos_id=tokenizer.eos,

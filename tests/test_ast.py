@@ -89,6 +89,59 @@ def test_generate_repetition_penalty_reduces_repeats(ast_model):
     assert counts_plain.max() >= counts.max()
 
 
+def test_generate_constrained_obeys_grammar(ast_model):
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+
+    model, variables = ast_model
+    mask = REMITokenizer(vocab_size=512).transition_mask()
+    wave = jnp.asarray(np.random.default_rng(7).standard_normal((2, 3200)), jnp.float32)
+    for kwargs in ({}, {"do_sample": True, "temperature": 3.0,
+                        "rng": jax.random.key(5)}):
+        ids = np.asarray(model.apply(
+            variables, wave, targets=None, generate_max_len=48,
+            allowed_next=jnp.asarray(mask), **kwargs))
+        for row in ids:
+            prev = 0  # decode starts from <sos>
+            for tok in row:
+                assert mask[prev, int(tok)], (prev, int(tok))
+                prev = int(tok)
+    # unconstrained random-weight decode violates the grammar (the control
+    # that proves the mask is doing the work)
+    plain = np.asarray(model.apply(variables, wave, targets=None,
+                                   generate_max_len=48))
+    ok = all(mask[int(a), int(b)]
+             for row in plain for a, b in zip([0] + row.tolist(), row.tolist()))
+    assert not ok
+
+
+def test_remi_transition_mask_accepts_all_encoder_output():
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+
+    tok = REMITokenizer(vocab_size=512)
+    mask = tok.transition_mask()
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        # random sparse rolls incl. long silences (multi-TIME_SHIFT runs)
+        roll = (rng.random((88, 700)) < (0.002 + 0.01 * trial)).astype(np.float32)
+        seq = tok.encode_from_pianoroll(roll, max_len=256)
+        for a, b in zip(seq, seq[1:]):
+            assert mask[a, b], (a, b)
+
+
+def test_event_transition_mask_accepts_all_encoder_output():
+    from music_transcription_tpu.models.event_tokenizer import EventMIDITokenizer
+
+    tok = EventMIDITokenizer(vocab_size=512)
+    mask = tok.transition_mask()
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        notes = [(int(rng.integers(21, 109)), float(s), float(s) + float(rng.random()))
+                 for s in np.sort(rng.random(40) * (3.0 + 4.0 * trial))]
+        seq = tok.encode_notes(notes, max_len=128)
+        for a, b in zip(seq, seq[1:]):
+            assert mask[a, b], (a, b)
+
+
 def test_predict_decodes_to_roll(ast_model):
     model, variables = ast_model
     wave = jnp.zeros((1, 3200), jnp.float32)
