@@ -256,6 +256,11 @@ def main(argv=None):
     gen_kwargs = {}
     if args.constrained:
         gen_kwargs["allowed_next"] = jnp.asarray(tokenizer.transition_mask())
+    # one jitted program per run: shapes are fixed (1, chunk) x max_len, so
+    # the tunneled backend pays one compile instead of per-op RPC dispatch
+    gen_fn = jax.jit(lambda w: model.apply(
+        variables, w, train=False, targets=None,
+        generate_max_len=args.max_len, **gen_kwargs))
     for i in range(n):
         wave, second = dataset[i]
         if pretokenized:
@@ -263,9 +268,7 @@ def main(argv=None):
         else:
             gt_tokens = tokenizer.encode_from_pianoroll(
                 np.asarray(second), max_len=args.max_len)
-        gen = model.apply(variables, jnp.asarray(wave)[None], train=False,
-                          targets=None, generate_max_len=args.max_len,
-                          **gen_kwargs)
+        gen = gen_fn(jnp.asarray(wave)[None])
         gen_tokens = trim_tokens(np.asarray(gen[0]).tolist(),
                                  eos_id=tokenizer.eos, pad_id=tokenizer.pad)
         gt_tokens = trim_tokens(gt_tokens, eos_id=tokenizer.eos,
