@@ -57,6 +57,14 @@ def main():
              "(chunk-overlap)x cost (cheaper than --window for the same "
              "effect). 0 = reference-exact non-overlapping chunks.",
     )
+    parser.add_argument(
+        "--constrained", action="store_true",
+        help="AST checkpoints only: grammar-constrained token decoding "
+             "(the tokenizer's transition mask vetoes illegal successors, "
+             "e.g. REMI NOTE_ON must be followed by VELOCITY). Counters "
+             "free-running drift; no effect on CNN-RNN checkpoints "
+             "(rejected with an error).",
+    )
     args = parser.parse_args()
     if args.overlap and args.window:
         print("Error: --overlap and --window are alternative seam "
@@ -89,7 +97,7 @@ def main():
         output_path = transcribe_audio(
             args.audio_file, args.model_file, args.output,
             threshold=args.threshold, window=args.window,
-            overlap=args.overlap,
+            overlap=args.overlap, constrained=args.constrained,
         )
         print("=" * 60)
         print("Transcription completed successfully!")

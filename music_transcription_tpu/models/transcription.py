@@ -122,11 +122,15 @@ class TranscriptionModel:
         return losses.transcription_loss(logits, targets, lengths)
 
     # --------------------------------------------------------------- predict
-    def predict(self, variables, x, threshold: float = 0.5, **kwargs):
-        """Binary (B, 88, T) piano roll (reference models/transcription_model.py:219-267)."""
+    def predict(self, variables, x, threshold: float = 0.5,
+                constrained: bool = False, **kwargs):
+        """Binary (B, 88, T) piano roll (reference models/transcription_model.py:219-267).
+
+        ``constrained=True`` (AST route only) applies the trained tokenizer's
+        ``transition_mask()`` during generation — grammar-constrained
+        decoding, see TranscriptionTransformer.generate."""
         if self.config.is_ast:
             max_t = kwargs.pop("max_T", 1024)  # tokenizer arg, not a model kwarg
-            token_ids = self.apply(variables, x, train=False, **kwargs)  # (B, L)
             # decode with the vocabulary the checkpoint was trained on
             # (cfg.tokenizer; event and remi ids overlap but mean different
             # things — frame arithmetic is rate-independent either way)
@@ -140,6 +144,9 @@ class TranscriptionModel:
                 from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
 
                 tok = REMITokenizer(vocab_size=self.config.remi_vocab_size)
+            if constrained:
+                kwargs["allowed_next"] = jnp.asarray(tok.transition_mask())
+            token_ids = self.apply(variables, x, train=False, **kwargs)  # (B, L)
             import numpy as np
 
             rolls = [

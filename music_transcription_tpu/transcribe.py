@@ -128,6 +128,7 @@ def transcribe_chunks(
     threshold: float = 0.5,
     mesh=None,
     hop_frames: int | None = None,
+    constrained: bool = False,
 ) -> np.ndarray:
     """(num_chunks, chunk_samples) -> concatenated (88, num_chunks*T) roll.
 
@@ -148,6 +149,7 @@ def transcribe_chunks(
         rolls = loaded.model.predict(
             loaded.variables, jnp.asarray(chunks), max_T=max_t,
             generate_max_len=loaded.model.config.max_output_len,
+            constrained=constrained,
         )
         rolls = np.asarray(rolls)
         out = np.zeros((rolls.shape[0], 88, max_t), np.float32)
@@ -211,7 +213,8 @@ class Transcriber:
 
     def __init__(self, checkpoint_path, model_cfg=None, audio_cfg=None, mesh=None,
                  threshold: float = 0.5, use_pallas_lstm: bool | None = None,
-                 window: float | None = None, overlap: float = 0.0):
+                 window: float | None = None, overlap: float = 0.0,
+                 constrained: bool = False):
         import dataclasses
 
         if use_pallas_lstm is None:
@@ -267,6 +270,11 @@ class Transcriber:
         )
         self.mesh = mesh
         self.threshold = threshold
+        if constrained and not self.loaded.model.config.is_ast:
+            raise ValueError(
+                "constrained decoding applies to AST checkpoints (token "
+                "grammar masking); the CNN-RNN route thresholds frame probs")
+        self.constrained = constrained
         self.hop_samples = None
         self.hop_frames = None
         if overlap and overlap > 0.0:
@@ -301,6 +309,7 @@ class Transcriber:
             self.loaded, chunks,
             threshold=self.threshold if threshold is None else threshold,
             mesh=self.mesh, hop_frames=self.hop_frames,
+            constrained=self.constrained,
         )
         return midi_io.pianoroll_to_notes(roll, fs=acfg.frame_rate)
 
@@ -328,6 +337,7 @@ def transcribe_audio(
     verbose: bool = True,
     window: float | None = None,
     overlap: float = 0.0,
+    constrained: bool = False,
 ):
     """Full pipeline (reference main.py:229-287). Returns the MIDI path."""
 
@@ -340,6 +350,7 @@ def transcribe_audio(
     server = Transcriber(
         checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg,
         mesh=mesh, threshold=threshold, window=window, overlap=overlap,
+        constrained=constrained,
     )
     loaded = server.loaded
     acfg = loaded.audio_cfg
@@ -357,7 +368,8 @@ def transcribe_audio(
         + " (batched on device)")
 
     combined = transcribe_chunks(loaded, chunks, threshold=threshold, mesh=mesh,
-                                 hop_frames=server.hop_frames)
+                                 hop_frames=server.hop_frames,
+                                 constrained=constrained)
 
     log("Converting to MIDI...")
     notes = midi_io.pianoroll_to_notes(combined, fs=acfg.frame_rate)

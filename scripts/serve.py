@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--overlap", type=float, default=0.0,
                    help="chunk overlap in seconds (stitched interior-keep "
                         "inference, see main.py --overlap)")
+    p.add_argument("--constrained", action="store_true",
+                   help="AST checkpoints only: grammar-constrained token "
+                        "decoding (see main.py --constrained)")
     p.add_argument("--once", action="store_true",
                    help="watch mode: process what's there now, then exit")
     return p
@@ -68,7 +71,7 @@ def main(argv=None):
 
     print(f"Loading model from {args.model} (devices: {jax.devices()})...", flush=True)
     server = Transcriber(args.model, threshold=args.threshold,
-                         overlap=args.overlap)
+                         overlap=args.overlap, constrained=args.constrained)
 
     def handle(path) -> str | None:
         t0 = time.perf_counter()

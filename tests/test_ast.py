@@ -149,6 +149,13 @@ def test_predict_decodes_to_roll(ast_model):
     assert roll.shape[0] == 1 and roll.shape[1] == 88
 
 
+def test_predict_constrained_decodes_to_roll(ast_model):
+    model, variables = ast_model
+    wave = jnp.zeros((1, 3200), jnp.float32)
+    roll = model.predict(variables, wave, generate_max_len=16, constrained=True)
+    assert roll.shape[0] == 1 and roll.shape[1] == 88
+
+
 def test_real_encoder_path():
     cfg = ModelConfig(model_type="ast", dropout=0.0, remi_vocab_size=512,
                       decoder_layers=1, decoder_dim=32, decoder_heads=4,
