@@ -218,7 +218,18 @@ def train_model(
         model, tx, jax.random.key(train_cfg.seed), model.example_input(batch=1, t=64)
     )
     if resume_from:
-        state = ckpt_lib.load_checkpoint(resume_from, like=state)
+        try:
+            state = ckpt_lib.load_checkpoint(resume_from, like=state)
+        except ValueError:
+            # best-state checkpoints (--save_best_every flushes) hold only
+            # {params, batch_stats, step} — resume from them with a fresh
+            # optimizer rather than refusing
+            loose = ckpt_lib.load_checkpoint(resume_from)
+            missing = [k for k in state if k not in loose]
+            state = {k: (loose[k] if k in loose else state[k]) for k in state}
+            if verbose and missing:
+                print(f"Partial resume: {resume_from} lacks "
+                      f"{'/'.join(missing)}; reinitialized fresh")
         if verbose:
             print(f"Resumed from {resume_from} at step {int(state['step'])}")
     if mesh is not None and partitioning != "dp":

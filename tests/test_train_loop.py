@@ -57,6 +57,37 @@ def test_train_model_end_to_end(maestro_root, tmp_path):
     assert loaded.model.config.n_mels == 32
 
 
+def test_resume_from_best_state_checkpoint(maestro_root, tmp_path):
+    """model_best flushes hold {params, batch_stats, step} only — resume
+    must fall back to a partial restore with a fresh optimizer."""
+    mcfg = ModelConfig(
+        model_type="cnn_rnn", n_mels=32, hidden_size=8, num_layers=1,
+        dropout=0.0, compute_dtype="float32",
+    )
+    tcfg = TrainConfig(epochs=1, batch_size=2, learning_rate=1e-3,
+                       save_every=0, data_parallel=1, num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0, audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    train_loader = Loader(train_set, 2, shuffle=True, num_workers=0,
+                          drop_last=True, pad_to=pad_to)
+    run_dir = str(tmp_path / "first")
+    train_model(model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+                train_loader=train_loader, val_loader=train_loader,
+                run_dir=run_dir, verbose=False)
+    best = os.path.join(run_dir, "checkpoints", "model_best")
+    from music_transcription_tpu.train.checkpoints import load_checkpoint
+
+    assert "opt_state" not in load_checkpoint(best)  # the premise
+    _, state, history = train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=train_loader, val_loader=train_loader,
+        run_dir=str(tmp_path / "second"), verbose=False, resume_from=best,
+    )
+    assert len(history["train_loss"]) == 1
+    assert all(np.isfinite(l) for l in history["train_loss"])
+    assert int(state["step"]) > 0
+
+
 def test_early_stop_patience(maestro_root, tmp_path):
     """lr=0 -> val never improves after epoch 1 -> stop at 1+patience."""
     mcfg = ModelConfig(
