@@ -297,6 +297,11 @@ class ASTTranscriber(nn.Module):
                  generate_max_len: int = 256, **gen_kwargs):
         memory = self._memory(waveforms, train)
         if targets is None:
+            if gen_kwargs.get("beam_size", 1) > 1:
+                return self.generate_beam(memory, max_len=generate_max_len,
+                                          **gen_kwargs)
+            gen_kwargs.pop("beam_size", None)
+            gen_kwargs.pop("length_penalty", None)
             return self.generate(memory, max_len=generate_max_len, **gen_kwargs)
         b, t = targets.shape
         positions = jnp.arange(t)[None].repeat(b, 0)
@@ -379,3 +384,91 @@ class ASTTranscriber(nn.Module):
             split_rngs={"params": False},
         )(self, (tok0, self_caches, counts0, rng), jnp.arange(max_len))
         return jnp.transpose(tokens, (1, 0))  # (B, max_len)
+
+    def generate_beam(
+        self,
+        memory,
+        beam_size: int = 4,
+        sos_id: int = 0,
+        eos_id: int = 1,
+        pad_id: int = 2,
+        max_len: int = 256,
+        length_penalty: float = 0.6,
+        mask_sos: bool = True,
+        allowed_next=None,
+    ):
+        """Vectorized beam search (no reference counterpart — the reference
+        decodes greedy/top-k only, transformer_model.py:305-392).
+
+        The beam rides the batch dimension: all ``B*beam`` hypotheses step
+        as one KV-cached decoder call, and beam reindexing is a ``jnp.take``
+        of the cache rows — one gather per step, MXU-friendly, no host
+        control flow. Finished beams emit <pad> at zero score. Hypotheses
+        are ranked by ``score / len**length_penalty`` (GNMT length norm).
+        Composes with ``allowed_next`` grammar masking. Returns
+        (B, max_len) ids of each batch row's best hypothesis."""
+        b = memory.shape[0]
+        bb = b * beam_size
+        v = self.remi_vocab_size
+        mem = jnp.repeat(memory, beam_size, axis=0)  # (bb, S, D)
+        self_caches = tuple(
+            layer.self_attn.init_cache(bb, max_len + 1) for layer in self.layers
+        )
+        cross_kvs = tuple(layer.cross_attn.cross_kv(mem) for layer in self.layers)
+        neg = jnp.float32(-1e9)
+        # all beams start identical: only beam 0 live, so the first top-k
+        # fans out to distinct tokens instead of beam_size copies
+        scores0 = jnp.full((b, beam_size), neg).at[:, 0].set(0.0)
+        finished0 = jnp.zeros((b, beam_size), bool)
+        lengths0 = jnp.full((b, beam_size), max_len, jnp.int32)
+        tokbuf0 = jnp.full((b, beam_size, max_len), pad_id, jnp.int32)
+        pad_row = jnp.full((v,), neg).at[pad_id].set(0.0)
+        rows = jnp.arange(b)[:, None]  # (b, 1) batch index for beam gathers
+
+        def step_fn(carry, step):
+            tok, caches, scores, finished, lengths, tokbuf = carry
+            x1 = self.token_emb(tok[:, None]) + self.pos_emb(step)[None, None]
+            new_caches = []
+            for layer, cache, ckv in zip(self.layers, caches, cross_kvs):
+                x1, cache = layer.step(x1, cache, ckv, step)
+                new_caches.append(cache)
+            logits = self.output_fc(x1)[:, 0]  # (bb, V)
+            if mask_sos:
+                logits = jnp.where(
+                    (step > 0) & (jnp.arange(v) == sos_id)[None], neg, logits)
+            if allowed_next is not None:
+                logits = jnp.where(allowed_next[tok], logits, neg)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(b, beam_size, v)
+            logp = jnp.where(finished[:, :, None], pad_row[None, None], logp)
+            cand = scores[:, :, None] + logp  # (b, beam, V)
+            scores, idx = jax.lax.top_k(cand.reshape(b, beam_size * v), beam_size)
+            parent = idx // v      # (b, beam)
+            tok_new = idx % v      # (b, beam)
+            flat_parent = (rows * beam_size + parent).reshape(-1)  # (bb,)
+            new_caches = tuple(
+                (jnp.take(k, flat_parent, axis=0), jnp.take(val, flat_parent, axis=0))
+                for k, val in new_caches
+            )
+            tokbuf = tokbuf[rows, parent]  # (b, beam, max_len), reordered
+            tokbuf = jax.lax.dynamic_update_slice_in_dim(
+                tokbuf, tok_new[:, :, None], step, axis=2)
+            was_finished = finished[rows, parent]
+            newly = (tok_new == eos_id) & ~was_finished
+            lengths = jnp.where(newly, step + 1, lengths[rows, parent])
+            finished = was_finished | (tok_new == eos_id)
+            carry = (tok_new.reshape(-1), new_caches, scores, finished,
+                     lengths, tokbuf)
+            return carry, ()
+
+        tok0 = jnp.full((bb,), sos_id, jnp.int32)
+        (_, _, scores, finished, lengths, tokbuf), _ = nn.scan(
+            lambda mdl, carry, x: step_fn(carry, x),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+        )(self, (tok0, self_caches, scores0, finished0, lengths0, tokbuf0),
+          jnp.arange(max_len))
+        norm = scores / jnp.power(lengths.astype(jnp.float32),
+                                  jnp.float32(length_penalty))
+        best = jnp.argmax(norm, axis=1)  # (b,)
+        return tokbuf[jnp.arange(b), best]  # (B, max_len)

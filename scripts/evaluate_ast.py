@@ -58,6 +58,12 @@ def build_parser():
                         "Separates 'the model cannot read pitch from audio' "
                         "from 'free-running generation drifts' — the round-4 "
                         "diagnostic that located the AST quality gap")
+    p.add_argument("--beam", type=int, default=1,
+                   help="beam size for generation (default 1 = greedy). "
+                        "Vectorized beam search with GNMT length "
+                        "normalization; composes with --constrained")
+    p.add_argument("--length_penalty", "--length-penalty", type=float,
+                   default=0.6, help="beam length-normalization exponent")
     p.add_argument("--constrained", action="store_true",
                    help="grammar-constrained decoding: mask logits with the "
                         "tokenizer's transition_mask() so generation can only "
@@ -256,6 +262,11 @@ def main(argv=None):
     gen_kwargs = {}
     if args.constrained:
         gen_kwargs["allowed_next"] = jnp.asarray(tokenizer.transition_mask())
+    if args.beam > 1:
+        gen_kwargs["beam_size"] = args.beam
+        gen_kwargs["length_penalty"] = args.length_penalty
+        gen_kwargs["eos_id"] = tokenizer.eos
+        gen_kwargs["pad_id"] = tokenizer.pad
     # one jitted program per run: shapes are fixed (1, chunk) x max_len, so
     # the tunneled backend pays one compile instead of per-op RPC dispatch
     gen_fn = jax.jit(lambda w: model.apply(

@@ -142,6 +142,46 @@ def test_event_transition_mask_accepts_all_encoder_output():
             assert mask[a, b], (a, b)
 
 
+def test_beam_size_one_matches_greedy_prefix(ast_model):
+    model, variables = ast_model
+    wave = jnp.asarray(np.random.default_rng(17).standard_normal((2, 3200)), jnp.float32)
+    greedy = np.asarray(model.apply(variables, wave, targets=None,
+                                    generate_max_len=24))
+    beam1 = np.asarray(model.apply(variables, wave, targets=None,
+                                   generate_max_len=24, beam_size=1))
+    # beam_size=1 routes through generate (greedy): identical
+    assert np.array_equal(greedy, beam1)
+    beam = np.asarray(model.apply(variables, wave, targets=None,
+                                  generate_max_len=24, beam_size=4))
+    assert beam.shape == greedy.shape
+    assert (beam >= 0).all() and (beam < 512).all()
+    # deterministic: same inputs, same best hypothesis
+    beam2 = np.asarray(model.apply(variables, wave, targets=None,
+                                   generate_max_len=24, beam_size=4))
+    assert np.array_equal(beam, beam2)
+
+
+def test_beam_constrained_obeys_grammar(ast_model):
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+
+    model, variables = ast_model
+    mask = REMITokenizer(vocab_size=512).transition_mask()
+    wave = jnp.asarray(np.random.default_rng(19).standard_normal((2, 3200)), jnp.float32)
+    ids = np.asarray(model.apply(
+        variables, wave, targets=None, generate_max_len=40, beam_size=4,
+        allowed_next=jnp.asarray(mask)))
+    assert ids.shape == (2, 40)
+    for row in ids:
+        prev = 0
+        for tok in row:
+            # beam reordering may splice hypotheses, but every surviving
+            # hypothesis was constrained at every step, including the pads
+            # appended after <eos>
+            assert mask[prev, int(tok)] or (prev == 2 and int(tok) == 2), \
+                (prev, int(tok))
+            prev = int(tok)
+
+
 def test_predict_decodes_to_roll(ast_model):
     model, variables = ast_model
     wave = jnp.zeros((1, 3200), jnp.float32)
