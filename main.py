@@ -58,6 +58,12 @@ def main():
              "effect). 0 = reference-exact non-overlapping chunks.",
     )
     parser.add_argument(
+        "--beam", type=int, default=1,
+        help="AST checkpoints only: beam size for token decoding "
+             "(default 1 = greedy). Vectorized beam search with length "
+             "normalization; composes with --constrained.",
+    )
+    parser.add_argument(
         "--constrained", action="store_true",
         help="AST checkpoints only: grammar-constrained token decoding "
              "(the tokenizer's transition mask vetoes illegal successors, "
@@ -98,6 +104,7 @@ def main():
             args.audio_file, args.model_file, args.output,
             threshold=args.threshold, window=args.window,
             overlap=args.overlap, constrained=args.constrained,
+            beam=args.beam,
         )
         print("=" * 60)
         print("Transcription completed successfully!")

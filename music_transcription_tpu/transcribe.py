@@ -129,6 +129,7 @@ def transcribe_chunks(
     mesh=None,
     hop_frames: int | None = None,
     constrained: bool = False,
+    beam: int = 1,
 ) -> np.ndarray:
     """(num_chunks, chunk_samples) -> concatenated (88, num_chunks*T) roll.
 
@@ -150,6 +151,7 @@ def transcribe_chunks(
             loaded.variables, jnp.asarray(chunks), max_T=max_t,
             generate_max_len=loaded.model.config.max_output_len,
             constrained=constrained,
+            **({"beam_size": beam} if beam > 1 else {}),
         )
         rolls = np.asarray(rolls)
         out = np.zeros((rolls.shape[0], 88, max_t), np.float32)
@@ -214,7 +216,7 @@ class Transcriber:
     def __init__(self, checkpoint_path, model_cfg=None, audio_cfg=None, mesh=None,
                  threshold: float = 0.5, use_pallas_lstm: bool | None = None,
                  window: float | None = None, overlap: float = 0.0,
-                 constrained: bool = False):
+                 constrained: bool = False, beam: int = 1):
         import dataclasses
 
         if use_pallas_lstm is None:
@@ -275,6 +277,11 @@ class Transcriber:
                 "constrained decoding applies to AST checkpoints (token "
                 "grammar masking); the CNN-RNN route thresholds frame probs")
         self.constrained = constrained
+        if beam > 1 and not self.loaded.model.config.is_ast:
+            raise ValueError(
+                "beam search applies to AST checkpoints (token decoding); "
+                "the CNN-RNN route has no token hypotheses to rank")
+        self.beam = beam
         self.hop_samples = None
         self.hop_frames = None
         if overlap and overlap > 0.0:
@@ -309,7 +316,7 @@ class Transcriber:
             self.loaded, chunks,
             threshold=self.threshold if threshold is None else threshold,
             mesh=self.mesh, hop_frames=self.hop_frames,
-            constrained=self.constrained,
+            constrained=self.constrained, beam=self.beam,
         )
         return midi_io.pianoroll_to_notes(roll, fs=acfg.frame_rate)
 
@@ -338,6 +345,7 @@ def transcribe_audio(
     window: float | None = None,
     overlap: float = 0.0,
     constrained: bool = False,
+    beam: int = 1,
 ):
     """Full pipeline (reference main.py:229-287). Returns the MIDI path."""
 
@@ -350,7 +358,7 @@ def transcribe_audio(
     server = Transcriber(
         checkpoint_path, model_cfg=model_cfg, audio_cfg=audio_cfg,
         mesh=mesh, threshold=threshold, window=window, overlap=overlap,
-        constrained=constrained,
+        constrained=constrained, beam=beam,
     )
     loaded = server.loaded
     acfg = loaded.audio_cfg
@@ -369,7 +377,7 @@ def transcribe_audio(
 
     combined = transcribe_chunks(loaded, chunks, threshold=threshold, mesh=mesh,
                                  hop_frames=server.hop_frames,
-                                 constrained=constrained)
+                                 constrained=constrained, beam=beam)
 
     log("Converting to MIDI...")
     notes = midi_io.pianoroll_to_notes(combined, fs=acfg.frame_rate)

@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--constrained", action="store_true",
                    help="AST checkpoints only: grammar-constrained token "
                         "decoding (see main.py --constrained)")
+    p.add_argument("--beam", type=int, default=1,
+                   help="AST checkpoints only: beam size for token "
+                        "decoding (see main.py --beam)")
     p.add_argument("--once", action="store_true",
                    help="watch mode: process what's there now, then exit")
     return p
@@ -71,7 +74,8 @@ def main(argv=None):
 
     print(f"Loading model from {args.model} (devices: {jax.devices()})...", flush=True)
     server = Transcriber(args.model, threshold=args.threshold,
-                         overlap=args.overlap, constrained=args.constrained)
+                         overlap=args.overlap, constrained=args.constrained,
+                         beam=args.beam)
 
     def handle(path) -> str | None:
         t0 = time.perf_counter()
