@@ -56,8 +56,9 @@ class EventMIDITokenizer:
 
         Looser than REMI's: events carry no velocity and truncation may cut
         the stream anywhere, so any of {NOTE_ON, NOTE_OFF, TIME_SHIFT, EOS}
-        may follow an event token. <sos> -> {NOTE_ON, TIME_SHIFT} (a frame-0
-        event is necessarily an on: offs land at frame >= on+1);
+        may follow an event token. <sos> -> {NOTE_ON, TIME_SHIFT, EOS} (a
+        frame-0 event is necessarily an on — offs land at frame >= on+1 —
+        and an empty note list encodes to [sos, eos]);
         <eos>/<pad> -> <pad>. Gap ids (138..159, 288..319, tail) keep
         all-False rows. For grammar-constrained decoding
         (TranscriptionTransformer.generate ``allowed_next``)."""
@@ -72,6 +73,7 @@ class EventMIDITokenizer:
         mask = np.zeros((v, v), bool)
         event = on | off | shift
         mask[self.sos] = on | shift
+        mask[self.sos, self.eos] = True
         mask[event] = event
         mask[event, self.eos] = True
         mask[self.eos, self.pad] = True

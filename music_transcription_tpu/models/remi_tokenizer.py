@@ -61,7 +61,8 @@ class REMITokenizer:
         VELOCITY -> {NOTE_ON, NOTE_OFF, TIME_SHIFT}; NOTE_OFF -> {NOTE_OFF,
         TIME_SHIFT} (ons precede offs inside a frame group); TIME_SHIFT ->
         {NOTE_ON, NOTE_OFF, TIME_SHIFT, EOS} (EOS always follows a shift);
-        <sos> -> {NOTE_ON, TIME_SHIFT} (no offs from the all-zero state);
+        <sos> -> {NOTE_ON, TIME_SHIFT, EOS} (no offs from the all-zero
+        state; a zero-frame roll encodes to [sos, eos]);
         <eos>/<pad> -> <pad>. Rows for gap ids (unreachable under the
         grammar) stay all-False. Used for grammar-constrained decoding
         (TranscriptionTransformer.generate ``allowed_next``)."""
@@ -77,6 +78,7 @@ class REMITokenizer:
 
         mask = np.zeros((v, v), bool)
         mask[self.sos] = on | shift
+        mask[self.sos, self.eos] = True
         mask[on] = vel
         mask[vel] = on | off | shift
         mask[off] = off | shift

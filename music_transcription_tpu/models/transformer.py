@@ -312,6 +312,30 @@ class ASTTranscriber(nn.Module):
         return self.output_fc(x)  # (B, T, V)
 
     # ------------------------------------------------------------ generation
+    def _decode_step(self, tok, caches, cross_kvs, step, mask_sos, sos_id,
+                     allowed_next):
+        """One KV-cached decoder step shared by greedy/sampled and beam
+        decoding: embed the previous token, run the layers, project to
+        logits, and apply the SOS mask and grammar mask. Returns
+        (logits (B, V), new_caches)."""
+        x1 = self.token_emb(tok[:, None]) + self.pos_emb(step)[None, None]
+        new_caches = []
+        for layer, cache, ckv in zip(self.layers, caches, cross_kvs):
+            x1, cache = layer.step(x1, cache, ckv, step)
+            new_caches.append(cache)
+        logits = self.output_fc(x1)[:, 0]  # (B, V)
+        if mask_sos:
+            logits = jnp.where(
+                (step > 0) & (jnp.arange(self.remi_vocab_size) == sos_id)[None],
+                -1e9,
+                logits,
+            )
+        if allowed_next is not None:
+            # tok is the previously emitted token; its successor row vetoes
+            # grammar-illegal continuations outright.
+            logits = jnp.where(allowed_next[tok], logits, -1e9)
+        return logits, tuple(new_caches)
+
     def generate(
         self,
         memory,
@@ -347,24 +371,10 @@ class ASTTranscriber(nn.Module):
 
         def step_fn(carry, step):
             tok, caches, counts, rng = carry
-            x1 = self.token_emb(tok[:, None]) + self.pos_emb(step)[None, None]
-            new_caches = []
-            for layer, cache, ckv in zip(self.layers, caches, cross_kvs):
-                x1, cache = layer.step(x1, cache, ckv, step)
-                new_caches.append(cache)
-            logits = self.output_fc(x1)[:, 0]  # (B, V)
-            if mask_sos:
-                logits = jnp.where(
-                    (step > 0) & (jnp.arange(self.remi_vocab_size) == sos_id)[None],
-                    -1e9,
-                    logits,
-                )
+            logits, new_caches = self._decode_step(
+                tok, caches, cross_kvs, step, mask_sos, sos_id, allowed_next)
             if repetition_penalty and repetition_penalty > 0.0:
                 logits = logits - repetition_penalty * counts
-            if allowed_next is not None:
-                # tok is the previously emitted token; its successor row
-                # vetoes grammar-illegal continuations outright.
-                logits = jnp.where(allowed_next[tok], logits, -1e9)
             if do_sample:
                 sample_logits = logits / jnp.maximum(1e-8, temperature)
                 if top_k and top_k > 0:
@@ -375,7 +385,7 @@ class ASTTranscriber(nn.Module):
             else:
                 next_tok = jnp.argmax(logits, axis=-1)
             counts = counts + jax.nn.one_hot(next_tok, self.remi_vocab_size)
-            return (next_tok, tuple(new_caches), counts, rng), next_tok
+            return (next_tok, new_caches, counts, rng), next_tok
 
         tok0 = jnp.full((b,), sos_id, jnp.int32)
         (_, _, _, _), tokens = nn.scan(
@@ -427,17 +437,8 @@ class ASTTranscriber(nn.Module):
 
         def step_fn(carry, step):
             tok, caches, scores, finished, lengths, tokbuf = carry
-            x1 = self.token_emb(tok[:, None]) + self.pos_emb(step)[None, None]
-            new_caches = []
-            for layer, cache, ckv in zip(self.layers, caches, cross_kvs):
-                x1, cache = layer.step(x1, cache, ckv, step)
-                new_caches.append(cache)
-            logits = self.output_fc(x1)[:, 0]  # (bb, V)
-            if mask_sos:
-                logits = jnp.where(
-                    (step > 0) & (jnp.arange(v) == sos_id)[None], neg, logits)
-            if allowed_next is not None:
-                logits = jnp.where(allowed_next[tok], logits, neg)
+            logits, new_caches = self._decode_step(
+                tok, caches, cross_kvs, step, mask_sos, sos_id, allowed_next)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             logp = logp.reshape(b, beam_size, v)
             logp = jnp.where(finished[:, :, None], pad_row[None, None], logp)

@@ -223,11 +223,25 @@ def train_model(
         except ValueError:
             # best-state checkpoints (--save_best_every flushes) hold only
             # {params, batch_stats, step} — resume from them with a fresh
-            # optimizer rather than refusing
+            # optimizer rather than refusing. Anything else (same keys but
+            # mismatched shapes/structure = wrong model config) re-raises
+            # the structured restore's error instead of loose-loading junk.
             loose = ckpt_lib.load_checkpoint(resume_from)
             missing = [k for k in state if k not in loose]
+            params_match = (
+                "params" in loose
+                and jax.tree_util.tree_structure(loose["params"])
+                == jax.tree_util.tree_structure(state["params"])
+                and all(
+                    tuple(np.shape(a)) == tuple(np.shape(b))
+                    for a, b in zip(jax.tree.leaves(loose["params"]),
+                                    jax.tree.leaves(state["params"]))
+                )
+            )
+            if not missing or not params_match:
+                raise
             state = {k: (loose[k] if k in loose else state[k]) for k in state}
-            if verbose and missing:
+            if verbose:
                 print(f"Partial resume: {resume_from} lacks "
                       f"{'/'.join(missing)}; reinitialized fresh")
         if verbose:

@@ -115,7 +115,12 @@ def note_f1(pred_notes, ref_notes, onset_tol=0.05, pitch_tol=0.0):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.teacher_forced and (args.constrained or args.beam > 1):
+        parser.error("--teacher_forced scores the forward pass only; "
+                     "--constrained/--beam shape generation and would be "
+                     "silently ignored — drop one side")
 
     import jax
 
@@ -215,8 +220,10 @@ def main(argv=None):
         # One jitted forward per fixed-size batch; logits[:, t] predicts
         # tokens[:, t+1] (the training alignment, train/loop.py token route).
         bs = min(8, n)
-        fwd = jax.jit(lambda w, tk: model.apply(
-            variables, w, train=False, targets=tk))
+        # variables as an argument, not a closure: closures bake the full
+        # parameter tree into the program as constants (slow relay compile)
+        fwd = jax.jit(lambda v, w, tk: model.apply(v, w, train=False,
+                                                   targets=tk))
         n_eff = (n // bs) * bs
         tot = {"ok": 0, "valid": 0, "pitch_ok": 0, "pitch": 0}
         pitch_lo = tokenizer.note_on_base
@@ -236,7 +243,7 @@ def main(argv=None):
                 tks.append(tk)
             w = jnp.asarray(np.stack(ws))
             tk = jnp.asarray(np.stack(tks))
-            pred = np.asarray(jnp.argmax(fwd(w, tk), -1))
+            pred = np.asarray(jnp.argmax(fwd(variables, w, tk), -1))
             tgt = np.asarray(tk)[:, 1:]
             prd = pred[:, : tgt.shape[1]]
             valid = tgt != tokenizer.pad
@@ -269,8 +276,8 @@ def main(argv=None):
         gen_kwargs["pad_id"] = tokenizer.pad
     # one jitted program per run: shapes are fixed (1, chunk) x max_len, so
     # the tunneled backend pays one compile instead of per-op RPC dispatch
-    gen_fn = jax.jit(lambda w: model.apply(
-        variables, w, train=False, targets=None,
+    gen_fn = jax.jit(lambda v, w: model.apply(
+        v, w, train=False, targets=None,
         generate_max_len=args.max_len, **gen_kwargs))
     for i in range(n):
         wave, second = dataset[i]
@@ -279,7 +286,7 @@ def main(argv=None):
         else:
             gt_tokens = tokenizer.encode_from_pianoroll(
                 np.asarray(second), max_len=args.max_len)
-        gen = gen_fn(jnp.asarray(wave)[None])
+        gen = gen_fn(variables, jnp.asarray(wave)[None])
         gen_tokens = trim_tokens(np.asarray(gen[0]).tolist(),
                                  eos_id=tokenizer.eos, pad_id=tokenizer.pad)
         gt_tokens = trim_tokens(gt_tokens, eos_id=tokenizer.eos,

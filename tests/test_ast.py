@@ -119,6 +119,10 @@ def test_remi_transition_mask_accepts_all_encoder_output():
 
     tok = REMITokenizer(vocab_size=512)
     mask = tok.transition_mask()
+    # zero-frame roll -> [sos, eos, pad...]: the empty transcription is legal
+    empty = tok.encode_from_pianoroll(np.zeros((88, 0), np.float32), max_len=8)
+    for a, b in zip(empty, empty[1:]):
+        assert mask[a, b], (a, b)
     rng = np.random.default_rng(11)
     for trial in range(6):
         # random sparse rolls incl. long silences (multi-TIME_SHIFT runs)
@@ -133,6 +137,9 @@ def test_event_transition_mask_accepts_all_encoder_output():
 
     tok = EventMIDITokenizer(vocab_size=512)
     mask = tok.transition_mask()
+    empty = tok.encode_notes([], max_len=8)
+    for a, b in zip(empty, empty[1:]):
+        assert mask[a, b], (a, b)
     rng = np.random.default_rng(13)
     for trial in range(6):
         notes = [(int(rng.integers(21, 109)), float(s), float(s) + float(rng.random()))
