@@ -87,6 +87,13 @@ def build_parser():
                    default=0,
                    help="stop when val CE has not improved for N epochs "
                         "(0 = run all --epochs); needs --val_split")
+    p.add_argument("--save_best_every", "--save-best-every", type=int, default=0,
+                   help="flush the device-retained best params to model_best "
+                        "every N epochs, not just at exit (train/loop.py's "
+                        "_flush_best rationale). A wedged tunnel RPC cannot "
+                        "honor the exit flush — the flush itself needs the "
+                        "dead connection — so cadenced flushes bound what a "
+                        "SIGKILL loses to N epochs")
     p.add_argument("--device_data", "--device-data", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="stage the whole dataset in device HBM once and feed "
@@ -301,6 +308,7 @@ def pretrain_main(args, subset):
     params = variables["params"]
     rng = jax.random.key(args.seed + 1)
     best_val, best_params, best_epoch = float("inf"), None, 0
+    flushed_val, last_flush_epoch = float("inf"), -(10**9)
     log_path = os.path.join(run_dir, "training_log.txt")
 
     sidecar = {
@@ -369,6 +377,10 @@ def pretrain_main(args, subset):
                 line += f" val_loss={vloss:.4f} val_frame_f1={f1:.4f}"
                 if vloss < best_val:
                     best_val, best_params, best_epoch = vloss, params, epoch
+                    if (args.save_best_every
+                            and epoch - last_flush_epoch >= args.save_best_every):
+                        save("model_best", best_params)
+                        flushed_val, last_flush_epoch = best_val, epoch
             print(line, flush=True)
             with open(log_path, "a") as f:
                 f.write(line + "\n")
@@ -384,7 +396,8 @@ def pretrain_main(args, subset):
         save("model_final", params)
         if best_params is not None:
             print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
-            save("model_best", best_params)
+            if best_val < flushed_val:  # skip when the cadence already wrote it
+                save("model_best", best_params)
     return 0
 
 
@@ -664,6 +677,7 @@ def main(argv=None):
     params = variables["params"]
     rng = jax.random.key(args.seed + 1)
     best_val, best_params, best_epoch = float("inf"), None, 0
+    flushed_val, last_flush_epoch = float("inf"), -(10**9)
     log_path = os.path.join(run_dir, "training_log.txt")
 
     import json
@@ -715,10 +729,14 @@ def main(argv=None):
                 line += f" val_loss={vloss:.4f}"
                 if vloss < best_val:
                     # retain on device (arrays are immutable; no copy needed),
-                    # flush once at exit — per-epoch orbax saves over the
-                    # tunneled host link cost ~60 s each (train_cnn's
-                    # --save_best_every rationale)
+                    # flush at the --save_best_every cadence + once at exit —
+                    # per-epoch orbax saves over the tunneled host link cost
+                    # ~60 s each (train_cnn's --save_best_every rationale)
                     best_val, best_params, best_epoch = vloss, params, epoch
+                    if (args.save_best_every
+                            and epoch - last_flush_epoch >= args.save_best_every):
+                        save("model_best", best_params)
+                        flushed_val, last_flush_epoch = best_val, epoch
             print(line)
             with open(log_path, "a") as f:
                 f.write(line + "\n")
@@ -733,7 +751,8 @@ def main(argv=None):
         save("model_final", params)
         if best_params is not None:
             print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
-            save("model_best", best_params)
+            if best_val < flushed_val:  # skip when the cadence already wrote it
+                save("model_best", best_params)
     return 0
 
 

@@ -297,6 +297,38 @@ def test_train_ast_cli_val_tracking(tmp_path):
     assert (run / "model_final" / "config.json").exists()
 
 
+def test_train_ast_save_best_every_flushes_midrun(tmp_path):
+    """--save_best_every N writes model_best during the run, not only at
+    exit (a wedged tunnel RPC can never honor the exit flush — observed
+    live on hardware: a SIGKILLed 37-epoch run lost its whole best state)."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--root_dir", str(root), "--chunk_length", "2.0",
+         "--epochs", "2", "--batch_size", "2", "--max_token_len", "32",
+         "--decoder_layers", "1", "--decoder_dim", "32", "--decoder_heads", "2",
+         "--mock_encoder", "--no-sanity_checks",
+         "--val_split", "validation", "--val_batches", "1",
+         "--save_best_every", "1", "--run_dir", str(run)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    assert (run / "model_best" / "config.json").exists()
+    # the cadenced flush precedes the exit sequence (model_final is always
+    # written first on exit, so a best-save seen before it is mid-run)
+    best_at = proc.stdout.find(f"Saved {run / 'model_best'}")
+    final_at = proc.stdout.find(f"Saved {run / 'model_final'}")
+    assert 0 <= best_at < final_at, proc.stdout[-2000:]
+
+
 def test_train_ast_cli_scheduled_sampling(tmp_path):
     """--scheduled_sampling trains through the two-pass step and logs the
     linearly ramped ss_p per epoch."""
