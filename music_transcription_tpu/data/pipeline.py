@@ -176,7 +176,8 @@ class Loader:
 
 def stage_to_device(dataset, collate, *, pad_to: int | None = None,
                     limit: int | None = None, verbose: bool = False,
-                    num_workers: int = 4):
+                    num_workers: int = 4,
+                    compact_fields: tuple[int, ...] = ()):
     """Stage a whole dataset on device as one stacked batch per field.
 
     Transfer-once feeding: the jitted train step then receives only int32
@@ -188,6 +189,14 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
         host-side (measured ~1 batch/step RSS growth — a multi-hour
         training run OOMs the host). Staging bounds the retention at one
         dataset-sized transfer.
+
+    ``compact_fields`` stages the listed float fields as int16 at PCM16
+    scale (round(x*32768), clipped): half the HBM footprint and half the
+    one staging transfer. Exact for audio decoded from 16-bit PCM (every
+    PCM16 sample is n/32768 and round-trips bit-identically); ~96 dB SNR
+    otherwise (e.g. resampled audio). Consumers dequantize after the
+    device-side gather with ``dequantize_i16`` — gathering the compact
+    array then casting is cheaper than gathering float32.
 
     Returns (device_arrays_tuple, n_items). Fields are whatever ``collate``
     produces for the full item list.
@@ -202,12 +211,29 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
         items = [dataset[i] for i in range(n)]
     host = collate(items, pad_to=pad_to)
     del items
+    if compact_fields:
+        host = list(host)
+        for i in compact_fields:
+            if not np.issubdtype(host[i].dtype, np.floating):
+                raise ValueError(
+                    f"compact field {i} must be float, got {host[i].dtype}")
+            host[i] = np.clip(np.rint(host[i] * 32768.0),
+                              -32768, 32767).astype(np.int16)
+        host = tuple(host)
     if verbose:
         mb = sum(a.nbytes for a in host) / 1e6
         print(f"Staging {n} items ({mb:.0f} MB) on device...")
     dev = tuple(jax.device_put(a) for a in host)
     jax.block_until_ready(dev)
     return dev, n
+
+
+def dequantize_i16(a):
+    """Inverse of ``stage_to_device``'s int16 compaction. On-device; XLA
+    fuses the cast+scale into the consumer."""
+    import jax.numpy as jnp
+
+    return a.astype(jnp.float32) * (1.0 / 32768.0)
 
 
 def epoch_index_batches(n: int, batch_size: int, *, shuffle: bool = True,
@@ -238,29 +264,38 @@ class DeviceStagedLoader:
                  pad_to: int | None = None, shuffle: bool = False, seed: int = 0,
                  num_workers: int = 4, drop_last: bool = False,
                  pad_last_batch: bool = False, verbose: bool = False,
-                 limit: int | None = None):
+                 limit: int | None = None,
+                 compact_fields: tuple[int, ...] = ()):
         import jax
         import jax.numpy as jnp
 
         self.arrays, self.n = stage_to_device(
             dataset, collate, pad_to=pad_to, num_workers=num_workers,
-            verbose=verbose, limit=limit)
+            verbose=verbose, limit=limit, compact_fields=compact_fields)
         self.batch_size = batch_size
         self.shuffle, self.seed = shuffle, seed
         self.drop_last = drop_last
         self.pad_last_batch = pad_last_batch and not drop_last
         self.epoch = 0
 
+        cf = frozenset(compact_fields)
+
+        def dq(out):
+            # int16-staged fields come back float32 — batches are dtype-
+            # identical to the streaming Loader's
+            return tuple(dequantize_i16(a) if i in cf else a
+                         for i, a in enumerate(out))
+
         if self.pad_last_batch:
             # the last collate field must be per-item lengths: padded rows
             # get length 0 (exactly neutral under the masked loss)
             def gather(arrays, idx, n_real):
-                out = tuple(jnp.take(a, idx, axis=0) for a in arrays)
+                out = dq(tuple(jnp.take(a, idx, axis=0) for a in arrays))
                 lengths = jnp.where(jnp.arange(idx.shape[0]) < n_real, out[-1], 0)
                 return out[:-1] + (lengths.astype(out[-1].dtype),)
         else:
             def gather(arrays, idx, n_real):
-                return tuple(jnp.take(a, idx, axis=0) for a in arrays)
+                return dq(tuple(jnp.take(a, idx, axis=0) for a in arrays))
 
         self._gather = jax.jit(gather)
 

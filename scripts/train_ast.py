@@ -100,6 +100,13 @@ def build_parser():
                         "the step index vectors (zero per-step H2D traffic; "
                         "also bounds the axon client's per-transfer host "
                         "retention). auto = on-TPU when the data fits")
+    p.add_argument("--compact_data", "--compact-data",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="stage waveforms as int16 at PCM16 scale (half the "
+                        "HBM footprint and staging transfer, dequantized on "
+                        "device after the gather): exact for 16-bit-PCM-"
+                        "decoded audio, ~96 dB SNR after resampling. Doubles "
+                        "how much data --device_data can hold")
     p.add_argument("--scheduled_sampling", "--scheduled-sampling", type=float,
                    default=0.0,
                    help="exposure-bias fix (Bengio et al. 2015 curriculum): "
@@ -194,8 +201,9 @@ def pretrain_main(args, subset):
     print(f"Pretrain set: {len(dataset)} chunks (frame-supervised)")
     collate = partial(collate_wave_roll, roll_pad_to=audio_cfg.roll_frames_per_chunk)
 
-    est_bytes = len(dataset) * 4 * (audio_cfg.chunk_samples
-                                    + 88 * audio_cfg.roll_frames_per_chunk)
+    wave_bytes = 2 if args.compact_data else 4
+    est_bytes = len(dataset) * (wave_bytes * audio_cfg.chunk_samples
+                                + 4 * 88 * audio_cfg.roll_frames_per_chunk)
     staged = args.device_data == "on" or (
         args.device_data == "auto"
         and jax.devices()[0].platform != "cpu"
@@ -237,11 +245,17 @@ def pretrain_main(args, subset):
 
     step = jax.jit(step_core)
 
+    def _take_wave(wave_all, idx):
+        # gather the (possibly int16-compacted) staged waveforms, then
+        # dequantize — trace-time dtype branch, static under jit
+        w = jnp.take(wave_all, idx, axis=0)
+        return dequantize_i16(w) if w.dtype == jnp.int16 else w
+
     @jax.jit
     def step_staged(params, opt_state, wave_all, roll_all, len_all, idx, rng):
         # device-side gather: the only per-step host->device payload is idx
         return step_core(params, opt_state,
-                         jnp.take(wave_all, idx, axis=0),
+                         _take_wave(wave_all, idx),
                          jnp.take(roll_all, idx, axis=0),
                          jnp.take(len_all, idx, axis=0), rng)
 
@@ -266,19 +280,22 @@ def pretrain_main(args, subset):
     @jax.jit
     def eval_staged(params, wave_all, roll_all, len_all, idx):
         return eval_core(params,
-                         jnp.take(wave_all, idx, axis=0),
+                         _take_wave(wave_all, idx),
                          jnp.take(roll_all, idx, axis=0),
                          jnp.take(len_all, idx, axis=0))
 
     from music_transcription_tpu.data.pipeline import (
+        dequantize_i16,
         epoch_index_batches,
         stage_to_device,
     )
 
+    compact = (0,) if args.compact_data else ()
     train_dev = n_train = None
     if staged:
         train_dev, n_train = stage_to_device(
-            dataset, collate, pad_to=audio_cfg.chunk_samples, verbose=True)
+            dataset, collate, pad_to=audio_cfg.chunk_samples, verbose=True,
+            compact_fields=compact)
         print(f"Device-staged training data: {n_train} chunks")
 
     val_loader = None
@@ -294,7 +311,8 @@ def pretrain_main(args, subset):
             # (deterministic order) — stage exactly those
             val_dev, n_val = stage_to_device(
                 val_ds, collate, pad_to=audio_cfg.chunk_samples,
-                limit=args.val_batches * args.batch_size, verbose=True)
+                limit=args.val_batches * args.batch_size, verbose=True,
+                compact_fields=compact)
         else:
             val_loader = Loader(val_ds, args.batch_size, shuffle=False,
                                 seed=args.seed, num_workers=2, drop_last=True,
@@ -554,20 +572,25 @@ def main(argv=None):
     # Transfer-once feeding when the data fits in HBM (see --device_data /
     # pipeline.DeviceStagedLoader; both loops here use drop_last, so the
     # staged loader never pads — tokens are safe as the last field)
-    est_bytes = len(dataset) * 4 * (audio_cfg.chunk_samples + 2 * args.max_token_len)
+    wave_bytes = 2 if args.compact_data else 4
+    est_bytes = len(dataset) * (wave_bytes * audio_cfg.chunk_samples
+                                + 8 * args.max_token_len)
     staged = args.device_data == "on" or (
         args.device_data == "auto"
         and jax.devices()[0].platform != "cpu"
         and est_bytes < 11e9)
     loader_cls = Loader
+    staged_kw = {}
     if staged:
         from music_transcription_tpu.data.pipeline import DeviceStagedLoader
 
         loader_cls = DeviceStagedLoader
+        if args.compact_data:
+            staged_kw["compact_fields"] = (0,)  # the waveform field
     loader = loader_cls(
         TokenizingView(dataset), args.batch_size, shuffle=True, seed=args.seed,
         num_workers=4, drop_last=True, collate=collate_tokens,
-        pad_to=audio_cfg.chunk_samples,
+        pad_to=audio_cfg.chunk_samples, **staged_kw,
     )
 
     model_cfg = ModelConfig(
@@ -666,7 +689,8 @@ def main(argv=None):
         val_loader = loader_cls(
             TokenizingView(val_ds, tokenized=val_tokenized), args.batch_size, shuffle=False,
             seed=args.seed, num_workers=2, drop_last=True,
-            collate=collate_tokens, pad_to=audio_cfg.chunk_samples, **val_kw)
+            collate=collate_tokens, pad_to=audio_cfg.chunk_samples,
+            **val_kw, **staged_kw)
         print(f"Validation set: {len(val_ds)} chunks "
               f"(up to {args.val_batches} batches/epoch)")
 

@@ -372,6 +372,21 @@ def _run_train_ast(args, timeout=600):
     )
 
 
+def test_train_ast_compact_staged_cpu(tmp_path):
+    """--device_data on --compact_data trains through int16-staged waveforms
+    (device-side gather + dequantize) end to end."""
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = _run_train_ast(["--root_dir", str(root), "--device_data", "on",
+                           "--compact_data", "--val_split", "validation",
+                           "--val_batches", "1", "--run_dir", str(run)])
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    assert "Epoch 1/1" in (run / "training_log.txt").read_text()
+    assert (run / "model_final" / "config.json").exists()
+
+
 def test_train_ast_rejects_mismatched_val_cache(tmp_path):
     """A mel-only cache on --val_split must be rejected (it would silently
     corrupt the val CE that selects model_best), mirroring the train-path
@@ -478,6 +493,23 @@ def test_pretrain_then_encoder_init_freeze_cli(tmp_path):
         for a, b in zip(jax.tree.leaves(pre_params[k]),
                         jax.tree.leaves(ast_params[k])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrain_frames_compact_staged_cpu(tmp_path):
+    """--pretrain_frames with --device_data on --compact_data trains through
+    the int16-staged step_staged/eval_staged path."""
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "pre"
+    proc = _run_train_ast(["--root_dir", str(root), "--pretrain_frames",
+                           "--device_data", "on", "--compact_data",
+                           "--val_split", "validation", "--val_batches", "1",
+                           "--run_dir", str(run),
+                           "--encoder_layers", "1", "--encoder_dim", "32",
+                           "--encoder_heads", "2", "--encoder_n_mels", "32"])
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    assert "val_frame_f1" in (run / "training_log.txt").read_text()
 
 
 def test_encoder_init_geometry_mismatch_errors(tmp_path):

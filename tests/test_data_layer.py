@@ -356,3 +356,53 @@ def test_device_staged_loader_matches_streaming(tmp_path):
         return [tuple(np.asarray(l).tolist()) for *_ , l in batches]
     e1, e2 = epoch_sig(list(staged2)), epoch_sig(list(staged2))
     assert e1 != e2  # reshuffled per epoch
+
+
+def test_device_staged_loader_compact_int16():
+    """compact_fields stages the listed float fields as int16 (half the HBM
+    and staging transfer) and yields dequantized float32 batches: bit-exact
+    for PCM16-grid audio, <= half-LSB error otherwise; other fields and
+    dtypes untouched."""
+    import pytest
+
+    from music_transcription_tpu.data.pipeline import (
+        DeviceStagedLoader,
+        Loader,
+        collate_mel,
+    )
+
+    class GridDS:  # values on the PCM16 grid n/32768 — int16 round-trips
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            wave = rng.integers(-32768, 32768, (4, 10)).astype(np.float32) / 32768.0
+            return wave, (rng.random((88, 10)) > 0.8).astype(np.float32)
+
+    kw = dict(pad_to=10, collate=collate_mel, num_workers=0, drop_last=True)
+    plain = list(Loader(GridDS(), 2, **kw))
+    compact = DeviceStagedLoader(GridDS(), 2, compact_fields=(0,), **kw)
+    assert compact.arrays[0].dtype == np.int16  # staged compact
+    assert compact.arrays[1].dtype == np.float32  # untouched
+    for (w1, r1, l1), (w2, r2, l2) in zip(plain, list(compact)):
+        assert np.asarray(w2).dtype == np.float32  # dequantized on gather
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    class OffGridDS(GridDS):  # e.g. resampled audio — quantization is lossy
+        def __getitem__(self, i):
+            rng = np.random.default_rng(100 + i)
+            return (rng.uniform(-1, 1, (4, 10)).astype(np.float32),
+                    np.zeros((88, 10), np.float32))
+
+    plain = list(Loader(OffGridDS(), 2, **kw))
+    compact = list(DeviceStagedLoader(OffGridDS(), 2, compact_fields=(0,), **kw))
+    for (w1, *_), (w2, *_) in zip(plain, compact):
+        err = np.abs(np.asarray(w1) - np.asarray(w2)).max()
+        assert err <= 0.5 / 32768.0 + 1e-9  # half-LSB rounding
+
+    with pytest.raises(ValueError, match="must be float"):
+        # lengths (int) are not quantizable — misuse fails loudly
+        DeviceStagedLoader(GridDS(), 2, compact_fields=(2,), **kw)
