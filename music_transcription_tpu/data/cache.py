@@ -60,7 +60,15 @@ def load_chunk(split_dir, idx: int) -> dict:
     npz = chunk_path(split_dir, idx, "npz")
     if os.path.exists(npz):
         with np.load(npz) as z:
-            return {k: z[k] for k in z.files}
+            out = {k: z[k] for k in z.files}
+        # compact storage (preprocess --compact): waveforms as int16 at
+        # PCM16 scale (exact for 16-bit-PCM sources), binary rolls as uint8.
+        # Dequantized centrally so every consumer keeps the float32 contract.
+        if "waveform" in out and out["waveform"].dtype == np.int16:
+            out["waveform"] = out["waveform"].astype(np.float32) / 32768.0
+        if "roll" in out and out["roll"].dtype == np.uint8:
+            out["roll"] = out["roll"].astype(np.float32)
+        return out
     pt = chunk_path(split_dir, idx, "pt")
     if os.path.exists(pt):
         import torch

@@ -47,21 +47,39 @@ def _tokens_for(roll, max_len=512):
     return np.asarray(REMITokenizer().encode_from_pianoroll(roll, max_len=max_len), np.int64)
 
 
-def _save_one(split_dir, idx, wave, roll, *, mel, tokenize, return_waveform, audio_cfg):
+def _compact_arrays(arrays):
+    """Compact storage: waveform -> int16 at PCM16 scale (exact for 16-bit
+    PCM sources, half-LSB error after resampling), binary roll -> uint8.
+    cache.load_chunk dequantizes by dtype, so readers are unchanged.
+    ~2.2x smaller waveform caches (disk is the data-scaling constraint)."""
+    out = dict(arrays)
+    if "waveform" in out:
+        out["waveform"] = np.clip(np.rint(out["waveform"] * 32768.0),
+                                  -32768, 32767).astype(np.int16)
+    roll = out.get("roll")
+    # only a strictly-binary roll is exactly representable; anything else
+    # (e.g. velocity-valued targets) stays float32
+    if roll is not None and roll.size and np.isin(roll, (0.0, 1.0)).all():
+        out["roll"] = roll.astype(np.uint8)
+    return out
+
+
+def _save_one(split_dir, idx, wave, roll, *, mel, tokenize, return_waveform,
+              audio_cfg, compact=False):
     if tokenize:
-        C.save_chunk(split_dir, idx, {
-            "waveform": wave, "tokens": _tokens_for(roll), "roll": roll,
-        })
+        arrays = {"waveform": wave, "tokens": _tokens_for(roll), "roll": roll}
     elif return_waveform:
-        C.save_chunk(split_dir, idx, {"waveform": wave, "roll": roll})
+        arrays = {"waveform": wave, "roll": roll}
     else:
         min_len = min(mel.shape[1], roll.shape[1])
-        C.save_chunk(split_dir, idx, {"mel": mel[:, :min_len], "roll": roll[:, :min_len]})
+        arrays = {"mel": mel[:, :min_len], "roll": roll[:, :min_len]}
+    C.save_chunk(split_dir, idx, _compact_arrays(arrays) if compact else arrays)
 
 
 def _host_worker(args):
     """Pool worker: own dataset instance, one chunk (reference :25-74)."""
-    (idx, ds_kwargs, split_dir, force, return_waveform, tokenize, audio_cfg) = args
+    (idx, ds_kwargs, split_dir, force, return_waveform, tokenize, audio_cfg,
+     compact) = args
     if os.path.exists(C.chunk_path(split_dir, idx)) and not force:
         return (True, True)
     try:
@@ -76,7 +94,8 @@ def _host_worker(args):
 
             mel = log_mel_numpy(wave, audio_cfg)
         _save_one(split_dir, idx, wave, roll, mel=mel, tokenize=tokenize,
-                  return_waveform=return_waveform, audio_cfg=audio_cfg)
+                  return_waveform=return_waveform, audio_cfg=audio_cfg,
+                  compact=compact)
         return (True, False)
     except Exception as e:  # pragma: no cover
         print(f"\nError processing chunk {idx}: {e}")
@@ -101,6 +120,7 @@ def preprocess_split(
     use_device: bool | None = None,
     device_batch: int = 32,
     verbose: bool = True,
+    compact: bool = False,
 ) -> dict:
     """Preprocess one split; returns stats {total, processed, skipped, failed}."""
     ds_kwargs = _dataset_kwargs(root_dir, split, audio_cfg, chunk_length, overlap)
@@ -117,6 +137,7 @@ def preprocess_split(
         "hop_length": audio_cfg.hop_length,
         "return_waveform": bool(return_waveform or tokenize),
         "tokenize": bool(tokenize),
+        "compact": bool(compact),
         "chunks": dataset.chunks,
     }
 
@@ -138,7 +159,7 @@ def preprocess_split(
 
     if use_device and not return_waveform and not tokenize:
         _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
-                           num_workers, stats, verbose)
+                           num_workers, stats, verbose, compact=compact)
     elif num_workers > 1:
         # spawn, not fork: the parent has imported JAX (multithreaded) by the
         # time the pool starts, and fork() of a multithreaded process can
@@ -147,7 +168,8 @@ def preprocess_split(
         from multiprocessing import get_context
 
         args = [
-            (i, ds_kwargs, split_dir, force, return_waveform or tokenize, tokenize, audio_cfg)
+            (i, ds_kwargs, split_dir, force, return_waveform or tokenize,
+             tokenize, audio_cfg, compact)
             for i in todo
         ]
         with get_context("spawn").Pool(num_workers) as pool:
@@ -157,7 +179,8 @@ def preprocess_split(
     else:
         for i in todo:
             ok, was_skipped = _host_worker(
-                (i, ds_kwargs, split_dir, force, return_waveform or tokenize, tokenize, audio_cfg)
+                (i, ds_kwargs, split_dir, force, return_waveform or tokenize,
+                 tokenize, audio_cfg, compact)
             )
             stats["processed" if ok and not was_skipped else
                   "skipped" if ok else "failed"] += 1
@@ -178,7 +201,7 @@ def preprocess_split(
 
 
 def _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
-                       num_workers, stats, verbose):
+                       num_workers, stats, verbose, compact=False):
     """Threaded decode feeding fixed-shape device mel batches.
 
     Submission is windowed (not executor.map, whose workers race arbitrarily
@@ -213,12 +236,13 @@ def _preprocess_device(dataset, todo, split_dir, audio_cfg, device_batch,
             batch.append(item)
             if len(batch) == device_batch or not futures:
                 _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
-                                    log_mel_chunks, num_frames, jnp, stats)
+                                    log_mel_chunks, num_frames, jnp, stats,
+                                    compact=compact)
                 batch = []
 
 
 def _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
-                        log_mel_chunks, num_frames, jnp, stats):
+                        log_mel_chunks, num_frames, jnp, stats, compact=False):
     waves = np.zeros((len(batch), chunk_samples), np.float32)
     for bi, (_, wave, _) in enumerate(batch):
         t = min(len(wave), chunk_samples)
@@ -234,5 +258,6 @@ def _flush_device_batch(batch, split_dir, audio_cfg, chunk_samples,
         mel = mels[bi, :, :t_frames]
         mel = np.maximum(mel, mel.max() - audio_cfg.top_db)
         min_len = min(mel.shape[1], roll.shape[1])
-        C.save_chunk(split_dir, idx, {"mel": mel[:, :min_len], "roll": roll[:, :min_len]})
+        arrays = {"mel": mel[:, :min_len], "roll": roll[:, :min_len]}
+        C.save_chunk(split_dir, idx, _compact_arrays(arrays) if compact else arrays)
         stats["processed"] += 1

@@ -85,6 +85,36 @@ def test_preprocess_waveform_and_tokenize(maestro_root, tmp_path):
     assert tokens.shape == (512,)
 
 
+def test_preprocess_compact_waveform_cache(maestro_root, tmp_path):
+    """--compact stores int16 waveforms + uint8 binary rolls (~2.2x smaller)
+    and the reader dequantizes transparently: items read back from a compact
+    cache equal the plain cache's exactly (fixture WAVs are 16-bit PCM at the
+    native sample rate, so the PCM16 grid round-trips)."""
+    plain_dir, compact_dir = tmp_path / "plain", tmp_path / "compact"
+    for d, compact in ((plain_dir, False), (compact_dir, True)):
+        preprocess_split(
+            root_dir=maestro_root, cache_dir=d, split="train", audio_cfg=CFG,
+            chunk_length=2.0, tokenize=True, use_device=False, num_workers=1,
+            verbose=False, compact=compact,
+        )
+    # on-disk dtypes are compact...
+    with np.load(C.chunk_path(compact_dir / "train", 0)) as z:
+        assert z["waveform"].dtype == np.int16
+        assert z["roll"].dtype == np.uint8
+    size = lambda d: sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(d) for f in fs)
+    assert size(compact_dir) < 0.6 * size(plain_dir)
+    # ...and every consumer-visible array is unchanged
+    for i in range(5):
+        p, c = C.load_chunk(plain_dir / "train", i), C.load_chunk(compact_dir / "train", i)
+        assert c["waveform"].dtype == c["roll"].dtype == np.float32
+        for k in p:
+            np.testing.assert_array_equal(p[k], c[k], err_msg=k)
+    ok, msg = C.verify_cache(compact_dir, "train")
+    assert ok, msg
+
+
 # ---------------------------------------------------------------------------
 # REMI tokenizer
 # ---------------------------------------------------------------------------
