@@ -195,6 +195,13 @@ class TrainConfig:
     # Dropout only consumes the stream, so the impl is not a numerics-parity
     # concern.
     rng_impl: str = "auto"
+    # Abort the process when no train/val step completes for this many
+    # seconds (0 = off). The tunneled backend can wedge an in-flight RPC
+    # permanently; a wedged process can't even flush its best state, so a
+    # loud fast exit (train/watchdog.py, code 66) + supervisor resume from
+    # the last --save_best_every flush beats a silent hang. Set it above
+    # the worst first-step compile (minutes over the remote relay).
+    stall_timeout_s: float = 0.0
     # Host input pipeline
     num_workers: int = 8
     prefetch_batches: int = 2

@@ -72,14 +72,17 @@ class TrainingUnstableError(RuntimeError):
 
 
 def train_one_epoch(step_fn, state, loader, rng, *, mesh=None, max_nan: int = 10,
-                    nan_count_start: int = 0, log_every: int = 50, verbose: bool = True):
+                    nan_count_start: int = 0, log_every: int = 50, verbose: bool = True,
+                    heartbeat=None):
     """Run one epoch; returns (state, avg_loss, step_losses, nan_count)."""
     total, step_losses = 0.0, []
     nan_count = nan_count_start
     t_start = time.perf_counter()
     for i, batch in enumerate(device_prefetch(iter(loader), mesh=mesh)):
         state, metrics = step_fn(state, batch, rng)
-        loss = float(metrics["loss"])
+        loss = float(metrics["loss"])  # device fetch: blocks on the RPC
+        if heartbeat is not None:
+            heartbeat()
         if float(metrics["skipped"]) > 0:
             nan_count += 1
             if verbose:
@@ -99,13 +102,15 @@ def train_one_epoch(step_fn, state, loader, rng, *, mesh=None, max_nan: int = 10
     return state, avg, step_losses, nan_count
 
 
-def evaluate(eval_fn, state, loader, *, mesh=None) -> float:
+def evaluate(eval_fn, state, loader, *, mesh=None, heartbeat=None) -> float:
     # pad_to_mesh keeps a partial tail batch shardable; zero rows carry
     # lengths==0, which the masked loss excludes exactly (pipeline.py).
     total, n = 0.0, 0
     for batch in device_prefetch(iter(loader), mesh=mesh, pad_to_mesh=True):
         total += float(eval_fn(state, batch))
         n += 1
+        if heartbeat is not None:
+            heartbeat()
     return total / max(1, n)
 
 
@@ -346,6 +351,13 @@ def train_model(
                 print(f"Saved new best model (val_loss={pending_best_val:.6f})")
         pending_best = None
 
+    watchdog = None
+    if getattr(train_cfg, "stall_timeout_s", 0):
+        from music_transcription_tpu.train.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(train_cfg.stall_timeout_s)
+    beat = watchdog.beat if watchdog is not None else None
+
     history = {"train_loss": [], "val_loss": [], "step_losses": []}
     rng_impl = train_cfg.rng_impl
     if rng_impl == "auto":  # see TrainConfig.rng_impl
@@ -378,10 +390,12 @@ def train_model(
             state, train_loss, step_losses, nan_count = train_one_epoch(
                 step_fn, state, train_loader, rng, mesh=mesh,
                 max_nan=train_cfg.max_nan_batches, nan_count_start=nan_count, verbose=verbose,
+                heartbeat=beat,
             )
             epoch_time = time.perf_counter() - t0
             val_loss = (
-                evaluate(eval_fn, state, val_loader, mesh=mesh) if val_loader is not None else None
+                evaluate(eval_fn, state, val_loader, mesh=mesh, heartbeat=beat)
+                if val_loader is not None else None
             )
 
             history["train_loss"].append(train_loss)
@@ -425,6 +439,11 @@ def train_model(
                           f"{best_epoch} (patience {train_cfg.early_stop_patience})")
                 break
     finally:
+        # disarm BEFORE the flush: exit-time orbax writes are legitimately
+        # slow (~70 s over the tunneled host link) and must not trip a
+        # stall exit that would kill the flush itself
+        if watchdog is not None:
+            watchdog.stop()
         # clean end OR abort (NaN abort, Ctrl-C): the true best state is
         # device-resident and must not be lost to the write cadence
         _flush_best()

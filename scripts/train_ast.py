@@ -100,6 +100,13 @@ def build_parser():
                         "the step index vectors (zero per-step H2D traffic; "
                         "also bounds the axon client's per-transfer host "
                         "retention). auto = on-TPU when the data fits")
+    p.add_argument("--stall_timeout", "--stall-timeout", type=float, default=0.0,
+                   help="abort (exit 66) when no train/val step completes "
+                        "for this many seconds — the tunneled backend can "
+                        "wedge an RPC permanently and a wedged process "
+                        "cannot flush its best state; a supervisor then "
+                        "resumes from the last --save_best_every flush. "
+                        "0 = off; set above the worst first-step compile")
     p.add_argument("--compact_data", "--compact-data",
                    action=argparse.BooleanOptionalAction, default=False,
                    help="stage waveforms as int16 at PCM16 scale (half the "
@@ -347,6 +354,12 @@ def pretrain_main(args, subset):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
+    watchdog = None
+    if args.stall_timeout:
+        from music_transcription_tpu.train.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(args.stall_timeout)
+    beat = watchdog.beat if watchdog is not None else (lambda: None)
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
@@ -357,6 +370,7 @@ def pretrain_main(args, subset):
                     params, opt_state, loss = step_staged(
                         params, opt_state, *train_dev, jnp.asarray(idx), sub)
                     total += float(loss)
+                    beat()
                     n += 1
             else:
                 for wave, roll, lengths in loader:
@@ -365,6 +379,7 @@ def pretrain_main(args, subset):
                         params, opt_state, jnp.asarray(wave), jnp.asarray(roll),
                         jnp.asarray(lengths), sub)
                     total += float(loss)
+                    beat()
                     n += 1
             line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
             if val_loader is not None or val_dev is not None:
@@ -376,6 +391,7 @@ def pretrain_main(args, subset):
                         vloss, btp, bfp, bfn = eval_staged(
                             params, *val_dev, jnp.asarray(idx))
                         vtotal += float(vloss)
+                        beat()
                         tp += int(btp); fp += int(bfp); fn_ += int(bfn)
                         vn += 1
                         if vn >= args.val_batches:
@@ -386,6 +402,7 @@ def pretrain_main(args, subset):
                             params, jnp.asarray(wave), jnp.asarray(roll),
                             jnp.asarray(lengths))
                         vtotal += float(vloss)
+                        beat()
                         tp += int(btp); fp += int(bfp); fn_ += int(bfn)
                         vn += 1
                         if vn >= args.val_batches:
@@ -409,6 +426,10 @@ def pretrain_main(args, subset):
                       f"(patience {args.early_stop_patience})")
                 break
     finally:
+        # disarm BEFORE the exit saves: they are legitimately slow over the
+        # tunneled host link and must not trip a stall exit mid-flush
+        if watchdog is not None:
+            watchdog.stop()
         # clean end OR abort (Ctrl-C, NaN): the device-resident best state
         # must not be lost (train/loop.py's _flush_best rationale)
         save("model_final", params)
@@ -717,6 +738,11 @@ def main(argv=None):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
+    watchdog = None
+    if args.stall_timeout:
+        from music_transcription_tpu.train.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(args.stall_timeout)
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
@@ -736,7 +762,9 @@ def main(argv=None):
                     params, opt_state, jnp.asarray(wave), jnp.asarray(tokens),
                     sub, jnp.float32(ss_p),
                 )
-                total += float(loss)
+                total += float(loss)  # device fetch: blocks on the RPC
+                if watchdog is not None:
+                    watchdog.beat()
                 n += 1
             line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
             if use_ss:
@@ -746,6 +774,8 @@ def main(argv=None):
                 for wave, tokens in val_loader:
                     vtotal += float(eval_step(params, jnp.asarray(wave),
                                               jnp.asarray(tokens)))
+                    if watchdog is not None:
+                        watchdog.beat()
                     vn += 1
                     if vn >= args.val_batches:
                         break
@@ -770,6 +800,10 @@ def main(argv=None):
                       f"(patience {args.early_stop_patience})")
                 break
     finally:
+        # disarm BEFORE the exit saves: they are legitimately slow over the
+        # tunneled host link and must not trip a stall exit mid-flush
+        if watchdog is not None:
+            watchdog.stop()
         # clean end OR abort (Ctrl-C, NaN): flush the device-resident best
         # state (train/loop.py's _flush_best rationale)
         save("model_final", params)

@@ -101,6 +101,13 @@ def build_parser():
                    choices=["auto", "threefry2x32", "rbg"],
                    help="dropout PRNG: auto = rbg on TPU (cheaper mask "
                         "generation, ~3%% step), threefry on CPU")
+    e.add_argument("--stall_timeout", "--stall-timeout", type=float, default=0.0,
+                   help="abort (exit 66) when no train/val step completes "
+                        "for this many seconds — the tunneled backend can "
+                        "wedge an RPC permanently and a wedged process "
+                        "cannot flush its best state; a supervisor then "
+                        "resumes from the last --save_best_every flush. "
+                        "0 = off; set above the worst first-step compile")
     e.add_argument("--device_data", "--device-data", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="stage the dataset in device HBM once and gather "
@@ -201,6 +208,7 @@ def main(argv=None):
         partitioning=args.partitioning,
         model_parallel=args.model_parallel,
         rng_impl=args.rng_impl,
+        stall_timeout_s=args.stall_timeout,
         num_workers=args.num_workers,
     )
 

@@ -1,0 +1,46 @@
+"""Stall watchdog: wedged-RPC detection (train/watchdog.py)."""
+
+import time
+
+from music_transcription_tpu.train.watchdog import STALL_EXIT_CODE, StallWatchdog
+
+
+def test_watchdog_fires_on_stall(capsys):
+    calls = []
+    wd = StallWatchdog(0.15, check_every_s=0.03, _exit=calls.append)
+    try:
+        deadline = time.time() + 5.0
+        while not calls and time.time() < deadline:
+            time.sleep(0.02)
+        assert calls == [STALL_EXIT_CODE]
+    finally:
+        wd.stop()
+
+
+def test_watchdog_quiet_while_beating():
+    calls = []
+    wd = StallWatchdog(0.2, check_every_s=0.03, _exit=calls.append)
+    try:
+        for _ in range(10):
+            time.sleep(0.05)
+            wd.beat()
+        assert calls == []
+    finally:
+        wd.stop()
+    # disarmed: a stall after stop() must not fire (exit-time checkpoint
+    # flushes are legitimately slow)
+    time.sleep(0.3)
+    assert calls == []
+
+
+def test_watchdog_cli_wiring(tmp_path):
+    """--stall_timeout armed (and never firing) through a real train run."""
+    from tests.maestro_fixture import make_maestro_root
+    from tests.test_ast import _run_train_ast
+
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = _run_train_ast(["--root_dir", str(root), "--stall_timeout", "300",
+                           "--run_dir", str(run)])
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    assert (run / "model_final" / "config.json").exists()
