@@ -22,6 +22,19 @@ NUM_WORKERS="${NUM_WORKERS:-8}"
 EVAL_SPLIT="${EVAL_SPLIT:-test}"
 PYTHON="${PYTHON:-python}"
 
+# --- AST tier (./example.sh ast) ---
+AST_CACHE_DIR="${AST_CACHE_DIR:-cached_ast_c10}"
+AST_CHUNK_LENGTH="${AST_CHUNK_LENGTH:-10.0}"   # the reference's operating point
+AST_PRETRAIN_EPOCHS="${AST_PRETRAIN_EPOCHS:-60}"
+AST_EPOCHS="${AST_EPOCHS:-60}"
+AST_BATCH_SIZE="${AST_BATCH_SIZE:-16}"
+AST_LR="${AST_LR:-1e-4}"
+AST_OUT="${AST_OUT:-outputs/ast}"
+AST_EXTRA_ARGS="${AST_EXTRA_ARGS:-}"           # e.g. model geometry overrides
+DEVICE="${DEVICE:-}"                           # cpu|tpu (default: backend default)
+DEV_ARGS=""
+[[ -n "$DEVICE" ]] && DEV_ARGS="--device $DEVICE"
+
 here="$(cd "$(dirname "$0")" && pwd)"
 
 confirm() {
@@ -82,14 +95,46 @@ run_all() {
     confirm "Run evaluation now? (requires a finished training run)" && run_eval
 }
 
+run_ast() {
+    # The round-4 AST recipe as one workflow (reference architecture pattern:
+    # frozen pretrained encoder + trained decoder, transformer_model.py:35,
+    # 94-97 — the AudioSet encoder is unfetchable, so the encoder is
+    # self-pretrained on this corpus' framewise 88-key labels instead).
+    echo "=== AST tier: cache -> encoder pretrain -> decoder train (frozen) -> eval ==="
+    # 1) waveform+token cache at the AST chunk length (compact: int16 waveforms)
+    "$PYTHON" "$here/scripts/preprocess_dataset.py" \
+        --root_dir "$ROOT_DIR" --cache_dir "$AST_CACHE_DIR" \
+        --chunk_length "$AST_CHUNK_LENGTH" --waveform --tokenize --compact \
+        --num_workers "$NUM_WORKERS" --verify
+    # 2) self-pretrain the mel-patch encoder with the framewise 88-key head
+    "$PYTHON" "$here/scripts/train_ast.py" --pretrain_frames \
+        --cache_dir "$AST_CACHE_DIR" --chunk_length "$AST_CHUNK_LENGTH" \
+        --epochs "$AST_PRETRAIN_EPOCHS" --batch_size "$AST_BATCH_SIZE" \
+        --lr "$AST_LR" --val_split validation --early_stop_patience 10 \
+        --save_best_every 5 --run_dir "$AST_OUT/pretrain" $DEV_ARGS $AST_EXTRA_ARGS
+    # 3) decoder training on the token objective, pretrained encoder frozen
+    "$PYTHON" "$here/scripts/train_ast.py" \
+        --cache_dir "$AST_CACHE_DIR" --chunk_length "$AST_CHUNK_LENGTH" \
+        --encoder_init "$AST_OUT/pretrain/model_best" --freeze_encoder \
+        --epochs "$AST_EPOCHS" --batch_size "$AST_BATCH_SIZE" --lr "$AST_LR" \
+        --val_split validation --early_stop_patience 10 \
+        --save_best_every 5 --run_dir "$AST_OUT/decoder" $DEV_ARGS $AST_EXTRA_ARGS
+    # 4) held-out note-level F1, greedy + grammar-constrained decoding
+    "$PYTHON" "$here/scripts/evaluate_ast.py" \
+        --model "$AST_OUT/decoder/model_best" --cache_dir "$AST_CACHE_DIR" \
+        --split "$EVAL_SPLIT" --constrained --headless $DEV_ARGS
+}
+
 case "${1:-}" in
     preprocess) run_preprocess ;;
     train) run_train ;;
     eval) run_eval ;;
+    ast) run_ast ;;
     all) run_all ;;
     *)
-        echo "Usage: $0 {preprocess|train|eval|all}"
+        echo "Usage: $0 {preprocess|train|eval|ast|all}"
         echo "Config via env vars: ROOT_DIR N_MELS CACHE_DIR MODEL_TYPE EPOCHS BATCH_SIZE ..."
+        echo "AST tier: AST_CACHE_DIR AST_CHUNK_LENGTH AST_EPOCHS AST_BATCH_SIZE AST_LR AST_OUT"
         exit 1
         ;;
 esac

@@ -214,6 +214,10 @@ def verify_cache(cache_dir, split: str) -> tuple[bool, str]:
     except FileNotFoundError:
         return False, f"missing metadata for split '{split}'"
     split_dir = os.path.join(str(cache_dir), split)
+    if meta.get("num_chunks") == 0:
+        # a legitimately empty split (e.g. a tiny dataset with no test
+        # pieces) writes no chunk files and may not create the directory
+        return True, "0 chunks (empty split)"
     if not os.path.isdir(split_dir):
         return False, f"missing split directory {split_dir}"
     n_files = len(
