@@ -23,7 +23,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS = 50.0  # north-star: <50 ms per 30 s chunk per chip (BASELINE.md)
 
 
+def _arm_deadline():
+    """Hard wall-clock deadline (BENCH_DEADLINE_S, default 1800 s; 0 = off).
+
+    The tunneled backend can hang at init or wedge an in-flight RPC
+    (observed live); a bench that never returns is worse for the driver
+    than one that fails loudly. os._exit — a blocked RPC never sees an
+    exception. 1800 s covers the worst cold remote compile (~7 min) with
+    margin."""
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1800"))
+    if deadline <= 0:
+        return
+    import threading
+
+    def boom():
+        print(f"[bench] deadline {deadline:.0f}s exceeded — device backend "
+              f"likely unavailable or wedged; exiting without a result",
+              file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(1)
+
+    t = threading.Timer(deadline, boom)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_deadline()
     batch = int(os.environ.get("BENCH_BATCH", "16"))  # ~saturated: 4.12 ms/chunk @16, 4.11 @32
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")  # xplane trace output

@@ -33,6 +33,25 @@ def test_watchdog_quiet_while_beating():
     assert calls == []
 
 
+def test_bench_deadline_exits_loudly():
+    """bench.py must fail fast (exit 1, diagnostic on stderr, NO JSON line)
+    when it can't produce a result inside BENCH_DEADLINE_S — a hung bench
+    at round end is worse for the driver than a loud failure."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env={**os.environ, "BENCH_DEADLINE_S": "0.5"},
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1
+    assert "deadline" in proc.stderr
+    assert '"metric"' not in proc.stdout  # no fabricated result line
+
+
 def test_watchdog_cli_wiring(tmp_path):
     """--stall_timeout armed (and never firing) through a real train run."""
     from tests.maestro_fixture import make_maestro_root
