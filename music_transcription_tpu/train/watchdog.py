@@ -35,16 +35,24 @@ class StallWatchdog:
     deliberately NOT sys.exit/raise: the main thread is blocked inside a
     dead RPC and will never see an exception; only ``os._exit`` escapes.
 
-    Pick ``timeout_s`` to exceed the worst first-step compile (minutes over
-    the remote-compile relay) — the heartbeat starts at construction.
+    Until the FIRST beat the effective timeout is ``first_grace_factor``×
+    larger: every fresh process pays the full remote compile (~4–7 min,
+    per-process cache) before step 1, and a steady-state-sized timeout
+    would otherwise fire mid-compile on every supervisor restart — an
+    infinite exit-66/recompile loop that burns relay time while making
+    zero progress. Still pick ``timeout_s`` generously (the grace is a
+    backstop, not a license for tight timeouts).
     """
 
     def __init__(self, timeout_s: float, context: str = "train step",
-                 check_every_s: float = 5.0, _exit=os._exit):
+                 check_every_s: float = 5.0, first_grace_factor: float = 4.0,
+                 _exit=os._exit):
         self.timeout_s = float(timeout_s)
         self.context = context
         self._check = float(check_every_s)
+        self._grace = float(first_grace_factor)
         self._exit = _exit  # injectable for tests
+        self._beaten = False
         self._last = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -52,6 +60,7 @@ class StallWatchdog:
         self._thread.start()
 
     def beat(self) -> None:
+        self._beaten = True
         self._last = time.monotonic()
 
     def stop(self) -> None:
@@ -61,10 +70,11 @@ class StallWatchdog:
     def _run(self) -> None:
         while not self._stop.wait(self._check):
             stale = time.monotonic() - self._last
-            if stale > self.timeout_s:
+            limit = self.timeout_s if self._beaten else self.timeout_s * self._grace
+            if stale > limit:
                 sys.stderr.write(
                     f"\n[stall-watchdog] no completed {self.context} for "
-                    f"{stale:.0f}s (> {self.timeout_s:.0f}s): the device "
+                    f"{stale:.0f}s (> {limit:.0f}s): the device "
                     f"connection is likely wedged. Exiting {STALL_EXIT_CODE} "
                     f"so a supervisor can resume from the last best-state "
                     f"flush (see --save_best_every).\n")

@@ -333,7 +333,6 @@ def pretrain_main(args, subset):
     params = variables["params"]
     rng = jax.random.key(args.seed + 1)
     best_val, best_params, best_epoch = float("inf"), None, 0
-    flushed_val, last_flush_epoch = float("inf"), -(10**9)
     log_path = os.path.join(run_dir, "training_log.txt")
 
     sidecar = {
@@ -354,12 +353,8 @@ def pretrain_main(args, subset):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
-    watchdog = None
-    if args.stall_timeout:
-        from music_transcription_tpu.train.watchdog import StallWatchdog
-
-        watchdog = StallWatchdog(args.stall_timeout)
-    beat = watchdog.beat if watchdog is not None else (lambda: None)
+    ops = _RunOps(args, save)
+    beat = ops.beat
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
@@ -412,10 +407,7 @@ def pretrain_main(args, subset):
                 line += f" val_loss={vloss:.4f} val_frame_f1={f1:.4f}"
                 if vloss < best_val:
                     best_val, best_params, best_epoch = vloss, params, epoch
-                    if (args.save_best_every
-                            and epoch - last_flush_epoch >= args.save_best_every):
-                        save("model_best", best_params)
-                        flushed_val, last_flush_epoch = best_val, epoch
+                    ops.on_best(best_params, best_val, epoch)
             print(line, flush=True)
             with open(log_path, "a") as f:
                 f.write(line + "\n")
@@ -426,17 +418,7 @@ def pretrain_main(args, subset):
                       f"(patience {args.early_stop_patience})")
                 break
     finally:
-        # disarm BEFORE the exit saves: they are legitimately slow over the
-        # tunneled host link and must not trip a stall exit mid-flush
-        if watchdog is not None:
-            watchdog.stop()
-        # clean end OR abort (Ctrl-C, NaN): the device-resident best state
-        # must not be lost (train/loop.py's _flush_best rationale)
-        save("model_final", params)
-        if best_params is not None:
-            print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
-            if best_val < flushed_val:  # skip when the cadence already wrote it
-                save("model_best", best_params)
+        ops.finish(params, best_params, best_val, best_epoch)
     return 0
 
 
@@ -493,8 +475,56 @@ def transplant_encoder(variables, ckpt_path, model_cfg):
     return {**variables, "params": out}
 
 
+class _RunOps:
+    """Wedge-proofing shared by both training loops: stall watchdog +
+    cadenced best-state flush (see --stall_timeout / --save_best_every).
+    One implementation so a fix to the cadence or the disarm ordering can
+    never apply to one loop and miss the other."""
+
+    def __init__(self, args, save):
+        self.watchdog = None
+        if args.stall_timeout:
+            from music_transcription_tpu.train.watchdog import StallWatchdog
+
+            self.watchdog = StallWatchdog(args.stall_timeout)
+        self.every = args.save_best_every
+        self.save = save
+        self.flushed_val = float("inf")
+        self.last_flush_epoch = -(10**9)
+
+    def beat(self):
+        if self.watchdog is not None:
+            self.watchdog.beat()
+
+    def on_best(self, best_params, best_val, epoch):
+        """Call on a val improvement: flush at most every N epochs."""
+        if self.every and epoch - self.last_flush_epoch >= self.every:
+            self.save("model_best", best_params)
+            self.flushed_val, self.last_flush_epoch = best_val, epoch
+
+    def finish(self, params, best_params, best_val, best_epoch):
+        """The loop's finally: clean end OR abort (Ctrl-C, NaN) must flush
+        the device-resident best state (train/loop.py's _flush_best)."""
+        # disarm BEFORE the exit saves: they are legitimately slow over the
+        # tunneled host link and must not trip a stall exit mid-flush
+        if self.watchdog is not None:
+            self.watchdog.stop()
+        self.save("model_final", params)
+        if best_params is not None:
+            print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
+            if best_val < self.flushed_val:  # cadence may already hold it
+                self.save("model_best", best_params)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.save_best_every and not args.val_split:
+        raise SystemExit(
+            "Error: --save_best_every needs --val_split — the cadence "
+            "flushes the best-validation-CE params, and without validation "
+            "tracking there is never a best state to flush (a wedged run "
+            "would silently lose everything, the exact failure the flag "
+            "exists to bound).")
     subset = None if args.subset_size in ("all", "0") else int(args.subset_size)
 
     import jax
@@ -722,7 +752,6 @@ def main(argv=None):
     params = variables["params"]
     rng = jax.random.key(args.seed + 1)
     best_val, best_params, best_epoch = float("inf"), None, 0
-    flushed_val, last_flush_epoch = float("inf"), -(10**9)
     log_path = os.path.join(run_dir, "training_log.txt")
 
     import json
@@ -738,11 +767,7 @@ def main(argv=None):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
-    watchdog = None
-    if args.stall_timeout:
-        from music_transcription_tpu.train.watchdog import StallWatchdog
-
-        watchdog = StallWatchdog(args.stall_timeout)
+    ops = _RunOps(args, save)
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
@@ -763,8 +788,7 @@ def main(argv=None):
                     sub, jnp.float32(ss_p),
                 )
                 total += float(loss)  # device fetch: blocks on the RPC
-                if watchdog is not None:
-                    watchdog.beat()
+                ops.beat()
                 n += 1
             line = f"Epoch {epoch}/{args.epochs}: train_loss={total / max(1, n):.4f}"
             if use_ss:
@@ -774,8 +798,7 @@ def main(argv=None):
                 for wave, tokens in val_loader:
                     vtotal += float(eval_step(params, jnp.asarray(wave),
                                               jnp.asarray(tokens)))
-                    if watchdog is not None:
-                        watchdog.beat()
+                    ops.beat()
                     vn += 1
                     if vn >= args.val_batches:
                         break
@@ -787,10 +810,7 @@ def main(argv=None):
                     # per-epoch orbax saves over the tunneled host link cost
                     # ~60 s each (train_cnn's --save_best_every rationale)
                     best_val, best_params, best_epoch = vloss, params, epoch
-                    if (args.save_best_every
-                            and epoch - last_flush_epoch >= args.save_best_every):
-                        save("model_best", best_params)
-                        flushed_val, last_flush_epoch = best_val, epoch
+                    ops.on_best(best_params, best_val, epoch)
             print(line)
             with open(log_path, "a") as f:
                 f.write(line + "\n")
@@ -800,17 +820,7 @@ def main(argv=None):
                       f"(patience {args.early_stop_patience})")
                 break
     finally:
-        # disarm BEFORE the exit saves: they are legitimately slow over the
-        # tunneled host link and must not trip a stall exit mid-flush
-        if watchdog is not None:
-            watchdog.stop()
-        # clean end OR abort (Ctrl-C, NaN): flush the device-resident best
-        # state (train/loop.py's _flush_best rationale)
-        save("model_final", params)
-        if best_params is not None:
-            print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
-            if best_val < flushed_val:  # skip when the cadence already wrote it
-                save("model_best", best_params)
+        ops.finish(params, best_params, best_val, best_epoch)
     return 0
 
 

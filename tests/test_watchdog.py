@@ -17,6 +17,26 @@ def test_watchdog_fires_on_stall(capsys):
         wd.stop()
 
 
+def test_watchdog_first_compile_grace():
+    """Before the FIRST beat the limit is first_grace_factor x timeout —
+    every fresh process pays the full remote compile before step 1, and a
+    steady-state timeout would fire mid-compile on every supervisor
+    restart. After one beat the steady-state timeout applies."""
+    calls = []
+    wd = StallWatchdog(0.1, check_every_s=0.02, first_grace_factor=6.0,
+                       _exit=calls.append)
+    try:
+        time.sleep(0.3)  # > timeout, < grace*timeout: must NOT fire yet
+        assert calls == []
+        wd.beat()  # "first step done": steady-state limit from here on
+        deadline = time.time() + 5.0
+        while not calls and time.time() < deadline:
+            time.sleep(0.02)
+        assert calls == [STALL_EXIT_CODE]
+    finally:
+        wd.stop()
+
+
 def test_watchdog_quiet_while_beating():
     calls = []
     wd = StallWatchdog(0.2, check_every_s=0.03, _exit=calls.append)
