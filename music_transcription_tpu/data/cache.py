@@ -46,6 +46,18 @@ def chunk_path(split_dir, idx: int, fmt: str = "npz") -> str:
     return os.path.join(str(split_dir), CHUNK_FMT.format(idx) + "." + fmt)
 
 
+# PCM16 codec for compact waveform storage/staging: round(x*32768) clipped
+# to int16, inverse x/32768. ONE definition — encode (preprocess compaction,
+# device staging) and decode (load_chunk, pipeline.dequantize_i16) must
+# never desynchronize or every waveform silently scales wrong.
+PCM16_SCALE = 32768.0
+
+
+def quantize_i16(a: np.ndarray) -> np.ndarray:
+    """Exact for audio decoded from 16-bit PCM; half-LSB error otherwise."""
+    return np.clip(np.rint(a * PCM16_SCALE), -32768, 32767).astype(np.int16)
+
+
 def save_chunk(split_dir, idx: int, arrays: dict) -> str:
     os.makedirs(str(split_dir), exist_ok=True)
     path = chunk_path(split_dir, idx)
@@ -65,7 +77,7 @@ def load_chunk(split_dir, idx: int) -> dict:
         # PCM16 scale (exact for 16-bit-PCM sources), binary rolls as uint8.
         # Dequantized centrally so every consumer keeps the float32 contract.
         if "waveform" in out and out["waveform"].dtype == np.int16:
-            out["waveform"] = out["waveform"].astype(np.float32) / 32768.0
+            out["waveform"] = out["waveform"].astype(np.float32) / PCM16_SCALE
         if "roll" in out and out["roll"].dtype == np.uint8:
             out["roll"] = out["roll"].astype(np.float32)
         return out

@@ -212,13 +212,14 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
     host = collate(items, pad_to=pad_to)
     del items
     if compact_fields:
+        from music_transcription_tpu.data.cache import quantize_i16
+
         host = list(host)
         for i in compact_fields:
             if not np.issubdtype(host[i].dtype, np.floating):
                 raise ValueError(
                     f"compact field {i} must be float, got {host[i].dtype}")
-            host[i] = np.clip(np.rint(host[i] * 32768.0),
-                              -32768, 32767).astype(np.int16)
+            host[i] = quantize_i16(host[i])
         host = tuple(host)
     if verbose:
         mb = sum(a.nbytes for a in host) / 1e6
@@ -229,11 +230,13 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
 
 
 def dequantize_i16(a):
-    """Inverse of ``stage_to_device``'s int16 compaction. On-device; XLA
-    fuses the cast+scale into the consumer."""
+    """Inverse of ``cache.quantize_i16``. On-device; XLA fuses the
+    cast+scale into the consumer."""
     import jax.numpy as jnp
 
-    return a.astype(jnp.float32) * (1.0 / 32768.0)
+    from music_transcription_tpu.data.cache import PCM16_SCALE
+
+    return a.astype(jnp.float32) * (1.0 / PCM16_SCALE)
 
 
 def epoch_index_batches(n: int, batch_size: int, *, shuffle: bool = True,

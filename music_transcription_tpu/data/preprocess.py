@@ -54,8 +54,7 @@ def _compact_arrays(arrays):
     ~2.2x smaller waveform caches (disk is the data-scaling constraint)."""
     out = dict(arrays)
     if "waveform" in out:
-        out["waveform"] = np.clip(np.rint(out["waveform"] * 32768.0),
-                                  -32768, 32767).astype(np.int16)
+        out["waveform"] = C.quantize_i16(out["waveform"])
     roll = out.get("roll")
     # only a strictly-binary roll is exactly representable; anything else
     # (e.g. velocity-valued targets) stays float32
