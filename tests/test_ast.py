@@ -329,6 +329,20 @@ def test_train_ast_save_best_every_flushes_midrun(tmp_path):
     assert 0 <= best_at < final_at, proc.stdout[-2000:]
 
 
+def test_train_ast_save_best_every_requires_val_split(tmp_path):
+    """--save_best_every without --val_split is an explicit error: the
+    cadence flushes the best-validation params, and with no validation
+    tracking there is never a best state to flush — a wedged run would
+    silently lose everything, the exact failure the flag exists to bound."""
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    proc = _run_train_ast(["--root_dir", str(root), "--save_best_every", "5",
+                           "--run_dir", str(tmp_path / "run")])
+    assert proc.returncode != 0
+    assert "--save_best_every needs --val_split" in proc.stderr
+
+
 def test_train_ast_cli_scheduled_sampling(tmp_path):
     """--scheduled_sampling trains through the two-pass step and logs the
     linearly ramped ss_p per epoch."""
