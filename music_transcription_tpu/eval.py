@@ -227,6 +227,65 @@ def per_sample_onset_f1(
 
 
 # ---------------------------------------------------------------------------
+# Token route (AST tier): note-level F1 on generated token sequences
+# ---------------------------------------------------------------------------
+
+
+def trim_tokens(token_list, eos_id: int = 1, pad_id: int = 2) -> list[int]:
+    """Drop pads, keep everything up to and including <eos> (reference
+    transformer_draft.ipynb cell 11 ``_trim_tokens`` semantics)."""
+    out = []
+    for t in token_list:
+        t = int(t)
+        if t == pad_id:
+            continue
+        out.append(t)
+        if t == eos_id:
+            break
+    return out
+
+
+def note_f1(pred_notes, ref_notes, onset_tol: float = 0.05,
+            pitch_tol: float = 0.0) -> dict:
+    """Greedy onset matching over (pitch, start, end) triples (reference
+    transformer_draft.ipynb cell 11 ``note_f1``: closest unused reference
+    note within both tolerances)."""
+    used = np.zeros(len(ref_notes), dtype=bool)
+    tp = 0
+    for pp, ps, _pe in pred_notes:
+        best_j, best_dt = -1, None
+        for j, (rp, rs, _re) in enumerate(ref_notes):
+            if used[j] or abs(pp - rp) > pitch_tol:
+                continue
+            dt = abs(ps - rs)
+            if dt <= onset_tol and (best_dt is None or dt < best_dt):
+                best_dt, best_j = dt, j
+        if best_j >= 0:
+            used[best_j] = True
+            tp += 1
+    fp = len(pred_notes) - tp
+    fn = len(ref_notes) - tp
+    prec = tp / (tp + fp + 1e-9)
+    rec = tp / (tp + fn + 1e-9)
+    f1 = 2 * prec * rec / (prec + rec + 1e-9)
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}
+
+
+def decode_tokens_to_notes(tokens, tokenizer, frame_rate: float,
+                           max_t: int = 4096) -> list[tuple]:
+    """Token ids -> [(pitch, start_s, end_s)] under either trained vocabulary
+    (event tokenizer decodes to notes directly; REMI walks a piano roll)."""
+    if hasattr(tokenizer, "decode_to_notes"):  # EventMIDITokenizer
+        return [(n.pitch, n.start, n.end)
+                for n in tokenizer.decode_to_notes(tokens)]
+    from music_transcription_tpu.data.midi import pianoroll_to_notes
+
+    roll = tokenizer.decode_to_pianoroll(tokens, max_t=max_t)
+    return [(n.pitch, n.start, n.end)
+            for n in pianoroll_to_notes(roll, fs=frame_rate)]
+
+
+# ---------------------------------------------------------------------------
 # Report artifacts
 # ---------------------------------------------------------------------------
 

@@ -75,43 +75,6 @@ def build_parser():
     return p
 
 
-def trim_tokens(token_list, eos_id=1, pad_id=2):
-    """Drop pads, keep everything up to and including <eos> (ref cell 11)."""
-    out = []
-    for t in token_list:
-        t = int(t)
-        if t == pad_id:
-            continue
-        out.append(t)
-        if t == eos_id:
-            break
-    return out
-
-
-def note_f1(pred_notes, ref_notes, onset_tol=0.05, pitch_tol=0.0):
-    """Greedy onset matching (reference cell 11 ``note_f1`` semantics:
-    closest unused reference note within both tolerances)."""
-    import numpy as np
-
-    used = np.zeros(len(ref_notes), dtype=bool)
-    tp = 0
-    for pp, ps, _pe in pred_notes:
-        best_j, best_dt = -1, None
-        for j, (rp, rs, _re) in enumerate(ref_notes):
-            if used[j] or abs(pp - rp) > pitch_tol:
-                continue
-            dt = abs(ps - rs)
-            if dt <= onset_tol and (best_dt is None or dt < best_dt):
-                best_dt, best_j = dt, j
-        if best_j >= 0:
-            used[best_j] = True
-            tp += 1
-    fp = len(pred_notes) - tp
-    fn = len(ref_notes) - tp
-    prec = tp / (tp + fp + 1e-9)
-    rec = tp / (tp + fn + 1e-9)
-    f1 = 2 * prec * rec / (prec + rec + 1e-9)
-    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}
 
 
 def main(argv=None):
@@ -129,6 +92,14 @@ def main(argv=None):
 
     import jax.numpy as jnp
     import numpy as np
+
+    # one definition of the token-route metric, shared with train_ast's
+    # --val_note_f1_every generation validation
+    from music_transcription_tpu.eval import (
+        decode_tokens_to_notes,
+        note_f1,
+        trim_tokens,
+    )
 
     from music_transcription_tpu.config import AudioConfig, ModelConfig
     from music_transcription_tpu.data.cache import CachedMaestroDataset, metadata_path
@@ -207,14 +178,7 @@ def main(argv=None):
         os.makedirs(args.out_dir, exist_ok=True)
 
     def decode_notes(tokens):
-        if args.tokenizer == "event":
-            return [(nt.pitch, nt.start, nt.end)
-                    for nt in tokenizer.decode_to_notes(tokens)]
-        from music_transcription_tpu.data.midi import pianoroll_to_notes
-
-        roll = tokenizer.decode_to_pianoroll(tokens, max_t=4096)
-        return [(nt.pitch, nt.start, nt.end)
-                for nt in pianoroll_to_notes(roll, fs=fr)]
+        return decode_tokens_to_notes(tokens, tokenizer, frame_rate=fr)
 
     if args.teacher_forced:
         # One jitted forward per fixed-size batch; logits[:, t] predicts

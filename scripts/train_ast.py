@@ -83,6 +83,26 @@ def build_parser():
                         "and retain the best-CE params for model_best")
     p.add_argument("--val_batches", "--val-batches", type=int, default=16,
                    help="cap on validation batches per epoch")
+    p.add_argument("--val_note_f1_every", "--val-note-f1-every", type=int,
+                   default=0,
+                   help="every N epochs, autoregressively generate on the "
+                        "first --val_note_f1_batches validation batches and "
+                        "log note-level micro F1 (the metric that matters: "
+                        "measured on hardware, token CE and generated note-F1 "
+                        "decouple — scheduled sampling lowered CE with flat "
+                        "F1, beam trails greedy). 0 = off; needs --val_split")
+    p.add_argument("--val_note_f1_batches", "--val-note-f1-batches", type=int,
+                   default=2,
+                   help="validation batches to generate on per note-F1 pass "
+                        "(generation is ~max_token_len sequential decode "
+                        "steps per batch — keep small)")
+    p.add_argument("--best_metric", "--best-metric", type=str, default="ce",
+                   choices=["ce", "note_f1"],
+                   help="metric that selects model_best and drives early "
+                        "stopping: 'ce' = validation token cross-entropy "
+                        "(every epoch), 'note_f1' = generated note-level F1 "
+                        "(computed on --val_note_f1_every epochs only; "
+                        "requires it)")
     p.add_argument("--early_stop_patience", "--early-stop-patience", type=int,
                    default=0,
                    help="stop when val CE has not improved for N epochs "
@@ -481,7 +501,7 @@ class _RunOps:
     One implementation so a fix to the cadence or the disarm ordering can
     never apply to one loop and miss the other."""
 
-    def __init__(self, args, save):
+    def __init__(self, args, save, metric_name="val_loss", sign=1.0):
         self.watchdog = None
         if args.stall_timeout:
             from music_transcription_tpu.train.watchdog import StallWatchdog
@@ -489,6 +509,10 @@ class _RunOps:
             self.watchdog = StallWatchdog(args.stall_timeout)
         self.every = args.save_best_every
         self.save = save
+        # best-state selection is always lower-is-better on the tracked
+        # score; metrics where higher is better (note_f1) are tracked
+        # negated, so displaying uses sign = -1
+        self.metric_name, self.sign = metric_name, sign
         self.flushed_val = float("inf")
         self.last_flush_epoch = -(10**9)
 
@@ -511,7 +535,8 @@ class _RunOps:
             self.watchdog.stop()
         self.save("model_final", params)
         if best_params is not None:
-            print(f"Best val_loss {best_val:.4f} at epoch {best_epoch}")
+            print(f"Best {self.metric_name} {self.sign * best_val:.4f} "
+                  f"at epoch {best_epoch}")
             if best_val < self.flushed_val:  # cadence may already hold it
                 self.save("model_best", best_params)
 
@@ -525,6 +550,19 @@ def main(argv=None):
             "tracking there is never a best state to flush (a wedged run "
             "would silently lose everything, the exact failure the flag "
             "exists to bound).")
+    if args.val_note_f1_every and not args.val_split:
+        raise SystemExit(
+            "Error: --val_note_f1_every needs --val_split — generation "
+            "validation runs on validation batches.")
+    if args.best_metric == "note_f1" and not args.val_note_f1_every:
+        raise SystemExit(
+            "Error: --best_metric note_f1 needs --val_note_f1_every N — "
+            "the metric only exists on epochs where generation validation "
+            "runs.")
+    if args.val_note_f1_every and args.pretrain_frames:
+        raise SystemExit(
+            "Error: --val_note_f1_every is a token-route metric; the "
+            "--pretrain_frames loop already tracks val_frame_f1 every epoch.")
     subset = None if args.subset_size in ("all", "0") else int(args.subset_size)
 
     import jax
@@ -767,7 +805,53 @@ def main(argv=None):
             json.dump(sidecar, f)
         print(f"Saved {ckpt}")
 
-    ops = _RunOps(args, save)
+    by_f1 = args.best_metric == "note_f1"
+    ops = _RunOps(args, save,
+                  metric_name="val_note_f1" if by_f1 else "val_loss",
+                  sign=-1.0 if by_f1 else 1.0)
+
+    gen_val = None
+    if args.val_note_f1_every:
+        from music_transcription_tpu.eval import (
+            decode_tokens_to_notes,
+            note_f1,
+            trim_tokens,
+        )
+
+        # one jitted generation program for the whole run (fixed batch and
+        # token-budget shapes; the tunneled backend pays one compile)
+        gen_fn = jax.jit(lambda p, w: model.module.apply(
+            {"params": p}, w, targets=None, train=False,
+            generate_max_len=args.max_token_len))
+
+        def gen_val(params):
+            """Micro note-F1 of free-running generation on the first
+            --val_note_f1_batches validation batches (same matching and
+            tolerances as scripts/evaluate_ast.py defaults: onset 0.1 s,
+            pitch 0.5 — numbers are comparable across the two surfaces)."""
+            tot = {"tp": 0, "fp": 0, "fn": 0}
+            bn = 0
+            for wave, tokens in val_loader:
+                gen = np.asarray(gen_fn(params, jnp.asarray(wave)))
+                ops.beat()
+                for g, t in zip(gen, np.asarray(tokens)):
+                    notes = [
+                        decode_tokens_to_notes(
+                            trim_tokens(seq.tolist(), eos_id=tokenizer.eos,
+                                        pad_id=tokenizer.pad),
+                            tokenizer, frame_rate=audio_cfg.frame_rate)
+                        for seq in (g, t)
+                    ]
+                    m = note_f1(notes[0], notes[1], onset_tol=0.1, pitch_tol=0.5)
+                    for k in tot:
+                        tot[k] += m[k]
+                bn += 1
+                if bn >= args.val_note_f1_batches:
+                    break
+            prec = tot["tp"] / (tot["tp"] + tot["fp"] + 1e-9)
+            rec = tot["tp"] / (tot["tp"] + tot["fn"] + 1e-9)
+            return 2 * prec * rec / (prec + rec + 1e-9)
+
     try:
         for epoch in range(1, args.epochs + 1):
             total, n = 0.0, 0
@@ -804,12 +888,20 @@ def main(argv=None):
                         break
                 vloss = vtotal / max(1, vn)
                 line += f" val_loss={vloss:.4f}"
-                if vloss < best_val:
+                score = vloss
+                if gen_val is not None and epoch % args.val_note_f1_every == 0:
+                    nf1 = gen_val(params)
+                    line += f" val_note_f1={nf1:.4f}"
+                    if by_f1:
+                        score = -nf1
+                elif by_f1:
+                    score = None  # the selection metric was not computed
+                if score is not None and score < best_val:
                     # retain on device (arrays are immutable; no copy needed),
                     # flush at the --save_best_every cadence + once at exit —
                     # per-epoch orbax saves over the tunneled host link cost
                     # ~60 s each (train_cnn's --save_best_every rationale)
-                    best_val, best_params, best_epoch = vloss, params, epoch
+                    best_val, best_params, best_epoch = score, params, epoch
                     ops.on_best(best_params, best_val, epoch)
             print(line)
             with open(log_path, "a") as f:

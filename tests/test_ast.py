@@ -370,6 +370,56 @@ def test_train_ast_cli_scheduled_sampling(tmp_path):
     assert "ss_p=0.25" in log[0] and "ss_p=0.50" in log[1], log
 
 
+def test_train_ast_cli_val_note_f1(tmp_path):
+    """--val_note_f1_every logs generated note-F1 and --best_metric note_f1
+    selects model_best by it (token CE and generated note-F1 decouple on
+    hardware — CE-selected best is the wrong checkpoint for the metric that
+    matters)."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--root_dir", str(root), "--chunk_length", "2.0",
+         "--epochs", "2", "--batch_size", "2", "--max_token_len", "32",
+         "--decoder_layers", "1", "--decoder_dim", "32", "--decoder_heads", "2",
+         "--mock_encoder", "--no-sanity_checks",
+         "--val_split", "validation", "--val_batches", "1",
+         "--val_note_f1_every", "1", "--val_note_f1_batches", "1",
+         "--best_metric", "note_f1", "--run_dir", str(run)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    log = (run / "training_log.txt").read_text().splitlines()
+    assert len(log) == 2 and all("val_note_f1=" in l for l in log), log
+    assert "Best val_note_f1" in proc.stdout
+    assert (run / "model_best" / "config.json").exists()
+
+
+def test_train_ast_val_note_f1_flag_guards(tmp_path):
+    """The generation-validation flags fail loudly when miswired."""
+    from tests.maestro_fixture import make_maestro_root
+
+    root = make_maestro_root(tmp_path / "maestro")
+    # --val_note_f1_every without --val_split
+    proc = _run_train_ast(["--root_dir", str(root), "--val_note_f1_every", "1",
+                           "--run_dir", str(tmp_path / "r1")])
+    assert proc.returncode != 0
+    assert "--val_note_f1_every needs --val_split" in proc.stderr
+    # --best_metric note_f1 without --val_note_f1_every
+    proc = _run_train_ast(["--root_dir", str(root), "--val_split", "validation",
+                           "--best_metric", "note_f1",
+                           "--run_dir", str(tmp_path / "r2")])
+    assert proc.returncode != 0
+    assert "--best_metric note_f1 needs --val_note_f1_every" in proc.stderr
+
+
 def _run_train_ast(args, timeout=600):
     import os
     import subprocess

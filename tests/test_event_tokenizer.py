@@ -146,7 +146,7 @@ def test_decode_never_crashes_on_arbitrary_ids():
 def test_note_f1_greedy_matching():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    from evaluate_ast import note_f1, trim_tokens
+    from music_transcription_tpu.eval import note_f1, trim_tokens
 
     ref = [(60, 0.0, 0.5), (64, 0.5, 1.0), (67, 1.0, 1.5)]
     pred = [(60, 0.02, 0.5), (64, 0.9, 1.0), (71, 1.0, 1.5)]
