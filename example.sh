@@ -112,12 +112,15 @@ run_ast() {
         --epochs "$AST_PRETRAIN_EPOCHS" --batch_size "$AST_BATCH_SIZE" \
         --lr "$AST_LR" --val_split validation --early_stop_patience 10 \
         --save_best_every 5 --run_dir "$AST_OUT/pretrain" $DEV_ARGS $AST_EXTRA_ARGS
-    # 3) decoder training on the token objective, pretrained encoder frozen
+    # 3) decoder training on the token objective, pretrained encoder frozen;
+    #    model_best selected by generated note-F1, not token CE (the two
+    #    decouple — CE keeps falling while generation quality plateaus)
     "$PYTHON" "$here/scripts/train_ast.py" \
         --cache_dir "$AST_CACHE_DIR" --chunk_length "$AST_CHUNK_LENGTH" \
         --encoder_init "$AST_OUT/pretrain/model_best" --freeze_encoder \
         --epochs "$AST_EPOCHS" --batch_size "$AST_BATCH_SIZE" --lr "$AST_LR" \
         --val_split validation --early_stop_patience 10 \
+        --val_note_f1_every 2 --best_metric note_f1 \
         --save_best_every 5 --run_dir "$AST_OUT/decoder" $DEV_ARGS $AST_EXTRA_ARGS
     # 4) held-out note-level F1, greedy + grammar-constrained decoding
     "$PYTHON" "$here/scripts/evaluate_ast.py" \
