@@ -50,6 +50,15 @@ class EventMIDITokenizer:
                 f"vocab_size too small; need >= {needed}, got {self.vocab_size}"
             )
 
+    def note_token_mask(self):
+        """(V,) bool — True on the NOTE_ON/NOTE_OFF ids (128 MIDI pitches
+        each). The per-class weight mask behind train_ast's
+        ``--pitch_loss_weight``."""
+        m = np.zeros(self.vocab_size, bool)
+        m[self.note_on_base:self.note_on_base + 128] = True
+        m[self.note_off_base:self.note_off_base + 128] = True
+        return m
+
     # -------------------------------------------------------------- grammar
     def transition_mask(self):
         """(V, V) bool successor table of ``encode_notes``'s grammar.

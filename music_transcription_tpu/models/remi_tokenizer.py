@@ -52,6 +52,15 @@ class REMITokenizer:
         frames = max(1, min(self.max_time_shift, int(frames)))
         return self._safe_id(self.time_shift_base + (frames - 1))
 
+    def note_token_mask(self) -> np.ndarray:
+        """(V,) bool — True on the NOTE_ON/NOTE_OFF ids ``encode`` can emit
+        (pitches 0..87). The per-class weight mask behind train_ast's
+        ``--pitch_loss_weight``."""
+        m = np.zeros(self.vocab_size, bool)
+        m[self.note_on_base:self.note_on_base + 88] = True
+        m[self.note_off_base:self.note_off_base + 88] = True
+        return m
+
     # -------------------------------------------------------------- grammar
     def transition_mask(self) -> np.ndarray:
         """(V, V) bool successor table of the encoder's grammar.

@@ -105,14 +105,27 @@ def transcription_loss(logits, targets, lengths=None) -> jnp.ndarray:
 
 
 def token_cross_entropy(
-    logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int = PAD_TOKEN
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    ignore_index: int = PAD_TOKEN,
+    class_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Flattened CE with ignore_index (reference models/transcription_model.py:125-131,
-    criterion at :84). Mean over non-ignored positions."""
+    criterion at :84). Mean over non-ignored positions.
+
+    ``class_weights`` — optional (V,) per-target-id weights (torch
+    ``CrossEntropyLoss(weight=...)`` semantics: weighted sum over positions
+    divided by the sum of the weights at the target ids, so all-ones
+    reproduces the unweighted mean exactly). Used by train_ast's
+    ``--pitch_loss_weight`` to upweight NOTE_ON/NOTE_OFF targets — the
+    measured AST failure mode is CE improving on timing/structure tokens
+    while pitched-note accuracy stalls."""
     v = logits.shape[-1]
     logits = logits.reshape(-1, v).astype(jnp.float32)
     targets = targets.reshape(-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
     keep = (targets != ignore_index).astype(jnp.float32)
+    if class_weights is not None:
+        keep = keep * class_weights.astype(jnp.float32)[targets]
     return (nll * keep).sum() / jnp.maximum(keep.sum(), 1.0)

@@ -370,6 +370,33 @@ def test_train_ast_cli_scheduled_sampling(tmp_path):
     assert "ss_p=0.25" in log[0] and "ss_p=0.50" in log[1], log
 
 
+def test_train_ast_cli_pitch_loss_weight(tmp_path):
+    """--pitch_loss_weight trains through the weighted-CE step end-to-end
+    (weights on NOTE_ON/NOTE_OFF targets; finite losses in the log)."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.maestro_fixture import make_maestro_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = make_maestro_root(tmp_path / "maestro")
+    run = tmp_path / "run"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_ast.py"),
+         "--device", "cpu", "--root_dir", str(root), "--chunk_length", "2.0",
+         "--epochs", "1", "--batch_size", "2", "--max_token_len", "32",
+         "--decoder_layers", "1", "--decoder_dim", "32", "--decoder_heads", "2",
+         "--mock_encoder", "--no-sanity_checks",
+         "--pitch_loss_weight", "4.0",
+         "--run_dir", str(run)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    log = (run / "training_log.txt").read_text().splitlines()
+    assert "train_loss=" in log[0] and "nan" not in log[0], log
+
+
 def test_train_ast_cli_val_note_f1(tmp_path):
     """--val_note_f1_every logs generated note-F1 and --best_metric note_f1
     selects model_best by it (token CE and generated note-F1 decouple on

@@ -91,6 +91,53 @@ def test_token_cross_entropy_matches_torch_ignore_index():
     assert ours == pytest.approx(ref, rel=1e-5)
 
 
+def test_token_cross_entropy_class_weights_match_torch():
+    """--pitch_loss_weight semantics == torch CrossEntropyLoss(weight=...):
+    weighted sum over positions / sum of target-id weights; all-ones
+    reproduces the unweighted mean exactly."""
+    b, t, v = 2, 13, 40
+    logits = RNG.standard_normal((b, t, v)).astype(np.float32)
+    targets = RNG.integers(0, v, size=(b, t))
+    targets[1, 7:] = 2  # pad
+    w = np.ones(v, np.float32)
+    w[10:20] = 4.0
+
+    ours = float(losses.token_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(targets),
+        class_weights=jnp.asarray(w)))
+    ref = float(
+        torch.nn.CrossEntropyLoss(ignore_index=2, weight=torch.from_numpy(w))(
+            torch.from_numpy(logits).reshape(-1, v), torch.from_numpy(targets).reshape(-1)
+        )
+    )
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+    plain = float(losses.token_cross_entropy(jnp.asarray(logits), jnp.asarray(targets)))
+    ones = float(losses.token_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(targets),
+        class_weights=jnp.ones(v, jnp.float32)))
+    assert ones == pytest.approx(plain, rel=1e-6)
+
+
+def test_note_token_mask_covers_exactly_the_pitch_ranges():
+    from music_transcription_tpu.models.event_tokenizer import EventMIDITokenizer
+    from music_transcription_tpu.models.remi_tokenizer import REMITokenizer
+
+    remi = REMITokenizer(vocab_size=512)
+    m = remi.note_token_mask()
+    assert m.shape == (512,) and m.sum() == 88 + 88
+    assert m[remi.note_on_id(0)] and m[remi.note_on_id(87)]
+    assert m[remi.note_off_id(0)] and m[remi.note_off_id(87)]
+    assert not m[remi.velocity_id(0)] and not m[remi.time_shift_id(1)]
+    assert not m[remi.sos] and not m[remi.eos] and not m[remi.pad]
+
+    ev = EventMIDITokenizer(vocab_size=512)
+    m = ev.note_token_mask()
+    assert m.shape == (512,) and m.sum() == 128 + 128
+    assert m[ev.note_on_id(0)] and m[ev.note_off_id(127)]
+    assert not m[ev.time_shift_id(1)] and not m[ev.sos]
+
+
 # ---------------------------------------------------------------------------
 # LSTM vs torch.nn.LSTM
 # ---------------------------------------------------------------------------
