@@ -123,8 +123,12 @@ run_ast() {
         --val_note_f1_every 2 --best_metric note_f1 \
         --save_best_every 5 --run_dir "$AST_OUT/decoder" $DEV_ARGS $AST_EXTRA_ARGS
     # 4) held-out note-level F1, greedy + grammar-constrained decoding
+    #    (model_best exists whenever a best was tracked; fall back to the
+    #    final state for ultra-short smoke runs, mirroring latest_best)
+    local dec_ckpt="$AST_OUT/decoder/model_best"
+    [[ -d "$dec_ckpt" ]] || dec_ckpt="$AST_OUT/decoder/model_final"
     "$PYTHON" "$here/scripts/evaluate_ast.py" \
-        --model "$AST_OUT/decoder/model_best" --cache_dir "$AST_CACHE_DIR" \
+        --model "$dec_ckpt" --cache_dir "$AST_CACHE_DIR" \
         --split "$EVAL_SPLIT" --constrained --headless $DEV_ARGS
 }
 

@@ -912,7 +912,12 @@ def main(argv=None):
                 vloss = vtotal / max(1, vn)
                 line += f" val_loss={vloss:.4f}"
                 score = vloss
-                if gen_val is not None and epoch % args.val_note_f1_every == 0:
+                # the final epoch always computes the selection metric when
+                # note-F1 selects model_best: a cadence longer than the run
+                # (epochs < every) must still produce a best checkpoint
+                force_f1 = by_f1 and epoch == args.epochs
+                if gen_val is not None and (
+                        epoch % args.val_note_f1_every == 0 or force_f1):
                     nf1 = gen_val(params)
                     line += f" val_note_f1={nf1:.4f}"
                     if by_f1:
