@@ -60,11 +60,23 @@ def build_parser():
     p.add_argument("--pedal_coverage", type=float, default=0.45,
                    help="fraction of each piece under sustain pedal (0 = v1 "
                         "behaviour: no CC64 events)")
-    p.add_argument("--timbre", type=str, default="v2", choices=["v2", "v1"],
+    p.add_argument("--timbre", type=str, default="v2",
+                   choices=["v3", "v2", "v1"],
                    help="v1 = round-2 renderer (4 clean harmonics, velocity "
                         "scales amplitude only, no pedal) — kept for "
                         "scaling-curve consistency with corpora generated "
-                        "before the v2 realism pass")
+                        "before the v2 realism pass. v3 = per-piece "
+                        "instrument profiles over 12 timbre/room dimensions "
+                        "(partial structure, decay constants, brightness "
+                        "curve, hammer, attack, string detune, room RT60/"
+                        "wet); combine with --timbre_split for an "
+                        "unseen-timbre test split")
+    p.add_argument("--timbre_split", action="store_true",
+                   help="v3 only: test-split pieces draw every profile "
+                        "dimension from a held-out band DISJOINT from the "
+                        "train/validation band (see _PROFILE_BANDS), so "
+                        "held-out F1 measures timbre generalization, not "
+                        "familiarity with the training synthesizer family")
     p.add_argument("--val_fraction", type=float, default=0.15)
     p.add_argument("--test_fraction", type=float, default=0.15)
     # v3 realism (round-4): long-form pieces, room acoustics, tonal structure
@@ -166,6 +178,49 @@ class Tonality:
 
 
 # ---------------------------------------------------------------------------
+# Instrument profiles (v4 corpora): disjoint train / held-out timbre bands
+# ---------------------------------------------------------------------------
+
+# Each per-piece "instrument" dimension has a TRAIN band and a HELD-OUT band
+# that do not overlap. With --timbre v3 --timbre_split, test pieces draw every
+# dimension from the held-out band, so test F1 measures generalization to
+# instruments the model has never heard (the reference's MAESTRO split has
+# this property across recordings/venues for free; a synthetic corpus must
+# construct it). Validation stays in the train band: it is used for model
+# selection and threshold tuning, which must see the training distribution.
+_PROFILE_BANDS = {
+    #                 train band      held-out band
+    "bright_g":     ((0.85, 1.15),  (1.15, 1.35)),   # global brightness
+    "decay_g":      ((0.80, 1.20),  (0.55, 0.80)),   # global decay rate
+    "roll_base":    ((2.15, 2.50),  (1.80, 2.15)),   # harmonic rolloff base
+    "roll_vel":     ((1.00, 1.35),  (1.35, 1.65)),   # rolloff velocity slope
+    "inharm":       ((0.50, 1.40),  (1.40, 2.50)),   # inharmonicity scale
+    "even_tilt":    ((-0.10, 0.12), (0.12, 0.35)),   # even-partial attenuation
+    "hammer":       ((0.25, 0.48),  (0.48, 0.70)),   # hammer-noise amount
+    "attack_ms":    ((3.0, 6.5),    (6.5, 11.0)),    # attack ramp
+    "detune_cents": ((0.40, 1.80),  (1.80, 3.60)),   # unison-string beating
+    "strike_mix":   ((0.62, 0.80),  (0.50, 0.62)),   # fast/slow decay mix
+    "rt60":         ((0.30, 0.80),  (0.80, 1.30)),   # room reverberation time
+    "wet":          ((0.22, 0.35),  (0.35, 0.50)),   # room wet mix
+}
+
+# The v2 renderer's fixed constants, as a profile (used when --timbre v2, so
+# one render() serves both paths; rng draw order is preserved for seed
+# reproducibility of pre-v4 corpora).
+_V2_PROFILE_CONST = {
+    "roll_base": 2.3, "roll_vel": 1.2, "inharm": 1.0, "even_tilt": 0.0,
+    "hammer": 0.4, "attack_ms": 5.0, "detune_cents": 0.0, "strike_mix": 0.75,
+}
+
+
+def sample_profile(rng, heldout=False):
+    """Draw a per-piece instrument profile from the train or held-out bands."""
+    idx = 1 if heldout else 0
+    return {k: float(rng.uniform(*bands[idx]))
+            for k, bands in _PROFILE_BANDS.items()}
+
+
+# ---------------------------------------------------------------------------
 # Room impulse response (v3): exponential-decay noise tail + direct path
 # ---------------------------------------------------------------------------
 
@@ -187,10 +242,12 @@ def room_ir(rng, sr, rt60):
     return ir
 
 
-def apply_reverb(y, sr, rng, wet):
+def apply_reverb(y, sr, rng, wet, rt60=None):
     from scipy.signal import fftconvolve
 
-    ir = room_ir(rng, sr, rt60=float(rng.uniform(0.3, 1.0)))
+    if rt60 is None:  # v2/v3 corpora: per-piece RT60 drawn here
+        rt60 = float(rng.uniform(0.3, 1.0))
+    ir = room_ir(rng, sr, rt60=rt60)
     rev = fftconvolve(y, ir)[: len(y)].astype(np.float32)
     out = (1.0 - wet) * y + wet * rev
     peak = np.abs(out).max()
@@ -327,19 +384,30 @@ def random_piece(rng, duration, notes_per_second, max_polyphony, pedal_spans,
 # ---------------------------------------------------------------------------
 
 
-def render(notes, duration, sr, rng, pedal_spans=()):
+def render(notes, duration, sr, rng, pedal_spans=(), prof=None):
     """Stiff-string additive synthesis with velocity-dependent timbre.
 
     Each note sounds until its pedal-extended end (dampers up while CC64 is
     held), then a short damper fade. Louder notes are brighter (smaller
     harmonic rolloff exponent) with a sharper hammer transient; decay is
     two-stage (fast strike + slow ring) so sustained tails stay audible.
+
+    ``prof`` (v3/v4 corpora) supplies the full per-piece instrument profile
+    (see _PROFILE_BANDS); ``prof=None`` reproduces the v2 renderer exactly,
+    including its rng draw order, so pre-v4 corpora regenerate bit-identically
+    from their seeds.
     """
     t_total = int(duration * sr)
     y = np.zeros(t_total, np.float32)
-    # per-piece "instrument": global brightness/decay character
-    bright_g = float(rng.uniform(0.85, 1.2))
-    decay_g = float(rng.uniform(0.8, 1.25))
+    if prof is None:
+        # per-piece "instrument": global brightness/decay character (v2)
+        prof = dict(_V2_PROFILE_CONST)
+        prof["bright_g"] = float(rng.uniform(0.85, 1.2))
+        prof["decay_g"] = float(rng.uniform(0.8, 1.25))
+    bright_g = prof["bright_g"]
+    decay_g = prof["decay_g"]
+    strike_mix = prof["strike_mix"]
+    detune = 2.0 ** (prof["detune_cents"] / 1200.0) - 1.0  # Δf/f of the pair
     for n in notes:
         f0 = 440.0 * 2 ** ((n.pitch - 69) / 12)
         sound_end = pedal_extended_end(n.end, pedal_spans)
@@ -354,9 +422,9 @@ def render(notes, duration, sr, rng, pedal_spans=()):
         # two-stage decay: strike transient + slow ring (both pitch-dependent)
         k_fast = decay_g * (2.0 + 6.0 * key + 1.5 * v)
         k_slow = decay_g * (0.25 + 1.1 * key)
-        env = (0.75 * np.exp(-k_fast * t) + 0.25 * np.exp(-k_slow * t)
-               ).astype(np.float32)
-        atk = min(int(0.005 * sr), len(env))
+        env = (strike_mix * np.exp(-k_fast * t)
+               + (1.0 - strike_mix) * np.exp(-k_slow * t)).astype(np.float32)
+        atk = min(int(prof["attack_ms"] * 1e-3 * sr), len(env))
         env[:atk] *= np.linspace(0, 1, atk, dtype=np.float32)  # click-free
         # damper fade after the sounding end
         rel = int((sound_end - n.start) * sr)
@@ -365,23 +433,31 @@ def render(notes, duration, sr, rng, pedal_spans=()):
             env[rel:] *= np.linspace(1, 0, tail, dtype=np.float32)
         amp = 0.22 * v ** 1.5
         # brightness: harmonic rolloff exponent shrinks with velocity
-        p_roll = (2.3 - 1.2 * v) / bright_g
-        B = 3e-4 * (1 + 4 * (1 - key) ** 2)  # inharmonicity, worst in bass
+        p_roll = (prof["roll_base"] - prof["roll_vel"] * v) / bright_g
+        # inharmonicity (stiff-string partial stretch), worst in bass
+        B = prof["inharm"] * 3e-4 * (1 + 4 * (1 - key) ** 2)
         seg = np.zeros_like(t)
         for h in range(1, 9):
             fh = f0 * h * np.sqrt(1 + B * h * h) * (1 + rng.normal(0, 8e-5))
             if fh >= sr / 2:
                 break
             w = h ** (-p_roll)
-            seg += w * np.sin(2 * np.pi * fh * t
+            if h % 2 == 0:
+                w *= 1.0 - prof["even_tilt"]  # even-partial tilt
+            part = w * np.sin(2 * np.pi * fh * t
                               + float(rng.uniform(0, 2 * np.pi))
                               ).astype(np.float32)
+            if detune > 0:
+                # unison pair beating: sin(a)+sin(b) = 2 sin(mean)·cos(Δ/2),
+                # i.e. one cosine envelope instead of a second oscillator
+                part *= np.cos(np.pi * fh * detune * t).astype(np.float32)
+            seg += part
         # hammer noise transient, brighter/louder with velocity
         nh = min(int(0.012 * sr), len(seg))
         if nh > 2:
             burst = np.diff(rng.normal(0, 1, nh + 1)).astype(np.float32)
-            seg[:nh] += 0.4 * v * burst * np.linspace(1, 0, nh,
-                                                      dtype=np.float32)
+            seg[:nh] += prof["hammer"] * v * burst * np.linspace(
+                1, 0, nh, dtype=np.float32)
         y[i0:i1] += amp * env * seg
     # room-ish noise floor
     y += rng.normal(0, 3e-4, t_total).astype(np.float32)
@@ -467,11 +543,15 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     import pandas as pd
 
+    if args.timbre_split and args.timbre != "v3":
+        print("error: --timbre_split requires --timbre v3", file=sys.stderr)
+        return 2
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
     n_test = max(1, int(args.pieces * args.test_fraction))
     n_val = max(1, int(args.pieces * args.val_fraction))
     rows = []
+    profiles = {}
     for i in range(args.pieces):
         split = ("test" if i < n_test
                  else "validation" if i < n_test + n_val else "train")
@@ -479,6 +559,12 @@ def main(argv=None):
         duration = args.duration
         if args.duration_range is not None:
             duration = float(rng.uniform(*args.duration_range))
+        prof = None
+        if args.timbre == "v3":
+            heldout = args.timbre_split and split == "test"
+            prof = sample_profile(rng, heldout=heldout)
+            profiles[f"synth{i:04d}"] = dict(
+                prof, split=split, band="heldout" if heldout else "train")
         if args.timbre == "v1":
             spans = []
             notes = random_piece_v1(rng, duration, args.notes_per_second,
@@ -489,9 +575,11 @@ def main(argv=None):
             spans = random_pedal_spans(rng, duration, args.pedal_coverage)
             notes = random_piece(rng, duration, args.notes_per_second,
                                  args.max_polyphony, spans, tonality=tonality)
-            audio = render(notes, duration, args.sr, rng, spans)
+            audio = render(notes, duration, args.sr, rng, spans, prof=prof)
         if args.reverb > 0:
-            audio = apply_reverb(audio, args.sr, rng, args.reverb)
+            wet = prof["wet"] if prof is not None else args.reverb
+            rt60 = prof["rt60"] if prof is not None else None
+            audio = apply_reverb(audio, args.sr, rng, wet, rt60=rt60)
         rel_wav = f"{year}/synth{i:04d}.wav"
         rel_mid = f"{year}/synth{i:04d}.midi"
         write_wav(os.path.join(args.out, rel_wav), audio, args.sr)
@@ -513,6 +601,10 @@ def main(argv=None):
               f"({duration:.0f}s, {len(notes)} notes, {len(spans)} pedal spans)")
     pd.DataFrame(rows).to_csv(os.path.join(args.out, "maestro-v3.0.0.csv"),
                               index=False)
+    if profiles:
+        import json
+        with open(os.path.join(args.out, "profiles.json"), "w") as f:
+            json.dump(profiles, f, indent=1)
     counts = {s: sum(1 for r in rows if r["split"] == s)
               for s in ("train", "validation", "test")}
     print(f"Done: {args.out} {counts}")

