@@ -202,6 +202,15 @@ class TrainConfig:
     # the last --save_best_every flush beats a silent hang. Set it above
     # the worst first-step compile (minutes over the remote relay).
     stall_timeout_s: float = 0.0
+    # Planned process recycling (0 = off): when host RSS crosses this many
+    # GB at an epoch boundary, write a full-resume checkpoint and exit with
+    # code 67 (train/watchdog.py RECYCLE_EXIT_CODE). The tunneled axon
+    # client retains every H2D payload host-side, so ANY feeding mode's RSS
+    # grows without bound over hours (per batch when streaming, per slab
+    # under slab rotation); a supervisor loop + `--resume auto` makes the
+    # run's effective memory profile a bounded sawtooth instead of an
+    # OOM-killer death. No reference counterpart (local CUDA doesn't leak).
+    rss_watermark_gb: float = 0.0
     # Host input pipeline
     num_workers: int = 8
     prefetch_batches: int = 2

@@ -177,7 +177,8 @@ class Loader:
 def stage_to_device(dataset, collate, *, pad_to: int | None = None,
                     limit: int | None = None, verbose: bool = False,
                     num_workers: int = 4,
-                    compact_fields: tuple[int, ...] = ()):
+                    compact_fields: tuple[int, ...] = (),
+                    indices=None):
     """Stage a whole dataset on device as one stacked batch per field.
 
     Transfer-once feeding: the jitted train step then receives only int32
@@ -199,16 +200,22 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
     array then casting is cheaper than gathering float32.
 
     Returns (device_arrays_tuple, n_items). Fields are whatever ``collate``
-    produces for the full item list.
+    produces for the full item list. ``indices`` stages an explicit subset
+    (slab rotation); default is the whole dataset (up to ``limit``).
     """
     import jax
 
-    n = len(dataset) if limit is None else min(limit, len(dataset))
+    if indices is None:
+        n = len(dataset) if limit is None else min(limit, len(dataset))
+        indices = range(n)
+    else:
+        indices = [int(i) for i in indices]
+        n = len(indices)
     if num_workers > 0:
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            items = list(pool.map(dataset.__getitem__, range(n)))
+            items = list(pool.map(dataset.__getitem__, indices))
     else:
-        items = [dataset[i] for i in range(n)]
+        items = [dataset[i] for i in indices]
     host = collate(items, pad_to=pad_to)
     del items
     if compact_fields:
@@ -321,6 +328,158 @@ class DeviceStagedLoader:
                 idx = np.pad(idx, (0, self.batch_size - n_real))
             yield self._gather(self.arrays, jnp.asarray(idx.astype(np.int32)),
                                n_real)
+
+
+class SlabRotatingLoader:
+    """Bounded-HBM, bounded-host-RSS feeding for caches larger than HBM.
+
+    The scale path the reference gets for free from CUDA-local DataLoaders
+    (reference scripts/train_cnn.py:257-276 streams a ~34 GB mel cache
+    indefinitely): here, per-step streaming is fatal on the tunneled axon
+    backend (the client retains every H2D payload host-side — DESIGN.md
+    "Transfer-once feeding") and whole-cache staging caps at HBM. This
+    loader holds the middle: partition each epoch's permutation into
+    equal-size slabs of ≤ ``slab_bytes``, stage ONE slab in HBM at a time,
+    and gather batches on device from the current slab (per-step H2D = one
+    int32 index vector, exactly like DeviceStagedLoader).
+
+      * epoch semantics: a fresh global permutation every epoch is cut into
+        slabs, so batch composition mixes across the whole cache over
+        epochs; within an epoch, batches mix within a slab (the standard
+        windowed-shuffle trade). ``passes_per_slab`` > 1 re-shuffles and
+        re-walks each staged slab before rotating, amortizing stage cost
+        when the link is slow (at a sampling-correlation cost).
+      * double buffering: slab s+1 stages on a background thread while the
+        device trains on slab s — rotation costs ~zero wall time when an
+        epoch's compute exceeds its transfer. Peak HBM = 2 slabs; size
+        ``slab_bytes`` accordingly.
+      * equal slab sizes (the permutation's remainder items sit out the
+        epoch — different ones each epoch) keep every gather one compiled
+        shape; through the remote-compile relay a per-slab recompile would
+        cost minutes.
+      * host RSS: bounded per rotation at ~one slab (the client retention),
+        NOT flat forever — compose with the train loop's
+        ``rss_watermark_gb`` recycle (exit 67 + ``--resume auto``) for
+        multi-hour runs. That pair is the measured survivable path.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, collate=collate_mel,
+                 pad_to: int | None = None, slab_bytes: float = 4e9,
+                 passes_per_slab: int = 1, shuffle: bool = True, seed: int = 0,
+                 num_workers: int = 4, verbose: bool = False,
+                 compact_fields: tuple[int, ...] = (),
+                 prefetch_next_slab: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.pad_to = pad_to
+        self.shuffle, self.seed = shuffle, seed
+        self.num_workers = num_workers
+        self.verbose = verbose
+        self.compact_fields = tuple(compact_fields)
+        self.passes_per_slab = max(1, int(passes_per_slab))
+        self.prefetch_next_slab = prefetch_next_slab
+        self.epoch = 0
+
+        n = len(dataset)
+        probe = collate([dataset[0]], pad_to=pad_to)
+        item_bytes = 0
+        for i, a in enumerate(probe):
+            b = int(np.asarray(a).nbytes)
+            if i in self.compact_fields:
+                b //= 2  # staged as int16
+            item_bytes += b
+        budget_items = max(batch_size, int(slab_bytes // max(1, item_bytes)))
+        self.n_slabs = max(1, -(-n // budget_items))
+        # equal slabs, whole batches: one gather shape for the entire run
+        self.items_per_slab = max(batch_size,
+                                  (n // self.n_slabs) // batch_size * batch_size)
+        self._item_bytes = item_bytes
+        if verbose:
+            print(f"Slab rotation: {self.n_slabs} slabs x "
+                  f"{self.items_per_slab} items "
+                  f"({self.items_per_slab * item_bytes / 1e9:.2f} GB/slab, "
+                  f"{n} items, {item_bytes / 1e6:.2f} MB/item)")
+
+        cf = frozenset(self.compact_fields)
+
+        def gather(arrays, idx):
+            return tuple(
+                dequantize_i16(a) if i in cf else a
+                for i, a in enumerate(tuple(jnp.take(a, idx, axis=0)
+                                            for a in arrays)))
+
+        self._gather = jax.jit(gather)
+
+    def __len__(self) -> int:
+        return (self.n_slabs * self.passes_per_slab
+                * (self.items_per_slab // self.batch_size))
+
+    def _stage(self, idx):
+        return stage_to_device(
+            self.dataset, self.collate, pad_to=self.pad_to,
+            num_workers=self.num_workers, compact_fields=self.compact_fields,
+            indices=idx)[0]
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        perm = (rng.permutation(len(self.dataset)) if self.shuffle
+                else np.arange(len(self.dataset)))
+        slabs = [perm[s * self.items_per_slab:(s + 1) * self.items_per_slab]
+                 for s in range(self.n_slabs)]
+
+        pool = ThreadPoolExecutor(max_workers=1) if (
+            self.prefetch_next_slab and self.n_slabs > 1) else None
+        pending = None
+        arrays = ()
+        try:
+            pending = pool.submit(self._stage, slabs[0]) if pool else None
+            for s in range(self.n_slabs):
+                if pending is not None:
+                    arrays = pending.result()
+                    pending = (pool.submit(self._stage, slabs[s + 1])
+                               if s + 1 < self.n_slabs else None)
+                else:
+                    arrays = self._stage(slabs[s])
+                if self.verbose and s == 0 and self.epoch == 1:
+                    mb = sum(int(a.nbytes) for a in arrays) / 1e6
+                    print(f"Slab 1/{self.n_slabs} staged ({mb:.0f} MB)")
+                n_batches = self.items_per_slab // self.batch_size
+                last = None
+                for _ in range(self.passes_per_slab):
+                    order = (rng.permutation(self.items_per_slab)
+                             if self.shuffle
+                             else np.arange(self.items_per_slab))
+                    for b in range(n_batches):
+                        idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        last = self._gather(
+                            arrays, jnp.asarray(idx.astype(np.int32)))
+                        yield last
+                # the final gather must complete before its inputs vanish
+                if last is not None:
+                    jax.block_until_ready(last)
+                for a in arrays:
+                    a.delete()
+                arrays = ()
+        finally:
+            # consumer abandonment (early break, exception, early stop):
+            # free whatever is still staged instead of pinning HBM
+            for a in arrays:
+                if not a.is_deleted():
+                    a.delete()
+            if pending is not None and pool is not None:
+                if not pending.cancel():
+                    for a in pending.result():
+                        a.delete()
+            if pool is not None:
+                pool.shutdown(wait=True)
 
 
 def device_prefetch(iterator, mesh=None, depth: int = 2, pad_to_mesh: bool = False):

@@ -80,6 +80,25 @@ def epoch_from_checkpoint_name(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def latest_resumable_checkpoint(run_dir: str) -> str | None:
+    """Newest resumable checkpoint under ``run_dir/checkpoints``: the
+    highest-numbered ``model_epoch_N`` (full state — exact resume), else
+    ``model_best`` (inference state — partial resume with a fresh
+    optimizer), else None. The target of ``--resume auto``."""
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best_n, best_path = -1, None
+    for name in os.listdir(ckpt_dir):
+        n = epoch_from_checkpoint_name(name)
+        if name.startswith("model_epoch_") and n is not None and n > best_n:
+            best_n, best_path = n, os.path.join(ckpt_dir, name)
+    if best_path is not None:
+        return best_path
+    best = os.path.join(ckpt_dir, "model_best")
+    return best if os.path.isdir(best) else None
+
+
 # ---------------------------------------------------------------------------
 # Torch .pth import
 # ---------------------------------------------------------------------------

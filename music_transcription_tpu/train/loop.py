@@ -71,6 +71,21 @@ class TrainingUnstableError(RuntimeError):
     pass
 
 
+class HostMemoryRecycle(RuntimeError):
+    """Raised at an epoch boundary when host RSS crossed the configured
+    watermark (TrainConfig.rss_watermark_gb). A full-resume checkpoint has
+    already been written; the CLI converts this into RECYCLE_EXIT_CODE (67)
+    so a supervisor restarts the process with ``--resume auto``."""
+
+    def __init__(self, epoch: int, rss_gb: float, checkpoint: str):
+        super().__init__(
+            f"host RSS {rss_gb:.1f} GB crossed the watermark after epoch "
+            f"{epoch}; checkpoint at {checkpoint}")
+        self.epoch = epoch
+        self.rss_gb = rss_gb
+        self.checkpoint = checkpoint
+
+
 def train_one_epoch(step_fn, state, loader, rng, *, mesh=None, max_nan: int = 10,
                     nan_count_start: int = 0, log_every: int = 50, verbose: bool = True,
                     heartbeat=None):
@@ -427,11 +442,29 @@ def train_model(
                 if epoch - last_best_flush_epoch >= train_cfg.save_best_every:
                     _flush_best()
                     last_best_flush_epoch = epoch
+            saved_this_epoch = False
             if train_cfg.save_every and epoch % train_cfg.save_every == 0:
                 save(f"model_epoch_{epoch}", state)
+                saved_this_epoch = True
             if is_main:
                 _plot_curves(run_dir, history["train_loss"], history["val_loss"],
                              history["step_losses"])
+            watermark = getattr(train_cfg, "rss_watermark_gb", 0.0)
+            if watermark:
+                from music_transcription_tpu.train.watchdog import host_rss_gb
+
+                rss = host_rss_gb()
+                if rss > watermark:
+                    # planned recycle: full state persists (exact resume,
+                    # optimizer included); the finally flushes model_best
+                    path = save(f"model_epoch_{epoch}", state) \
+                        if not saved_this_epoch \
+                        else os.path.join(ckpt_dir, f"model_epoch_{epoch}")
+                    if verbose:
+                        print(f"Host RSS {rss:.1f} GB > watermark "
+                              f"{watermark:.1f} GB: checkpointed epoch "
+                              f"{epoch}, requesting recycle (exit 67)")
+                    raise HostMemoryRecycle(epoch, rss, path)
             if (train_cfg.early_stop_patience and val_loader is not None
                     and epoch - best_epoch >= train_cfg.early_stop_patience):
                 if verbose:

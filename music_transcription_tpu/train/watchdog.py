@@ -81,3 +81,25 @@ class StallWatchdog:
                 sys.stderr.flush()
                 self._exit(STALL_EXIT_CODE)
                 return  # only reached with an injected test exit
+
+
+# Host-memory recycle: the axon PJRT client retains every H2D payload in
+# host RSS (DESIGN.md "Transfer-once feeding"), so even slab-staged feeding
+# grows the host by ~one slab per rotation. Nothing in-process releases it;
+# the bounded-memory answer is to checkpoint at an epoch boundary and exit
+# with this code so a supervisor restarts the process (fresh client, RSS
+# back to baseline) and resumes exactly (--resume auto). Distinct from
+# STALL_EXIT_CODE so supervisors can tell planned recycles from wedges.
+RECYCLE_EXIT_CODE = 67
+
+
+def host_rss_gb() -> float:
+    """Resident-set size of this process in GB (0.0 where unreadable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:  # pragma: no cover - non-procfs platform
+        pass
+    return 0.0

@@ -109,11 +109,27 @@ def build_parser():
                         "resumes from the last --save_best_every flush. "
                         "0 = off; set above the worst first-step compile")
     e.add_argument("--device_data", "--device-data", type=str, default="auto",
-                   choices=["auto", "on", "off"],
+                   choices=["auto", "on", "off", "slab"],
                    help="stage the dataset in device HBM once and gather "
                         "batches on device (zero per-step H2D; bounds the "
                         "axon client's per-transfer host retention). auto = "
-                        "single-chip TPU runs whose data fits")
+                        "single-chip TPU runs whose data fits, slab rotation "
+                        "when it doesn't; 'slab' forces rotation")
+    e.add_argument("--slab_gb", "--slab-gb", type=float, default=3.5,
+                   help="HBM budget per slab for slab-rotation feeding "
+                        "(double-buffered: peak data HBM = 2 slabs). Used "
+                        "when the cache outgrows whole-cache staging")
+    e.add_argument("--slab_passes", "--slab-passes", type=int, default=1,
+                   help="passes over each staged slab before rotating (>1 "
+                        "amortizes slow-link staging at a sampling-"
+                        "correlation cost)")
+    e.add_argument("--rss_watermark_gb", "--rss-watermark-gb", type=float,
+                   default=0.0,
+                   help="planned process recycle: checkpoint + exit 67 when "
+                        "host RSS crosses this at an epoch boundary (the "
+                        "tunneled client retains H2D payloads; a supervisor "
+                        "loop with --resume auto makes multi-hour runs "
+                        "bounded-memory). 0 = off")
     return p
 
 
@@ -209,6 +225,7 @@ def main(argv=None):
         model_parallel=args.model_parallel,
         rng_impl=args.rng_impl,
         stall_timeout_s=args.stall_timeout,
+        rss_watermark_gb=args.rss_watermark_gb,
         num_workers=args.num_workers,
     )
 
@@ -251,11 +268,17 @@ def main(argv=None):
     # per-transfer host retention (measured: streamed feeding grows host RSS
     # by ~1 batch/step and OOMs multi-hour runs).
     est_bytes = (len(train_set) + len(val_set)) * 4 * pad_to * (args.n_mels + 88 + 1)
+    single_chip = (jax.devices()[0].platform != "cpu"
+                   and len(jax.devices()) == 1 and not multihost)
     use_staged = (args.device_data == "on"
-                  or (args.device_data == "auto"
-                      and jax.devices()[0].platform != "cpu"
-                      and len(jax.devices()) == 1 and not multihost
+                  or (args.device_data == "auto" and single_chip
                       and est_bytes < 11e9))
+    # Caches that outgrow HBM: slab rotation (bounded-HBM, bounded-RSS-per-
+    # rotation transfer-once feeding) — the MAESTRO-scale input path. auto
+    # falls through to it on single-chip TPU; 'slab' forces it anywhere.
+    use_slab = (not use_staged
+                and (args.device_data == "slab"
+                     or (args.device_data == "auto" and single_chip)))
     if use_staged:
         from music_transcription_tpu.data.pipeline import DeviceStagedLoader
 
@@ -264,6 +287,23 @@ def main(argv=None):
             num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
             verbose=True,
         )
+        val_loader = DeviceStagedLoader(
+            val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
+            pad_to=pad_to, pad_last_batch=True, verbose=True,
+        )
+    elif use_slab:
+        from music_transcription_tpu.data.pipeline import (
+            DeviceStagedLoader,
+            SlabRotatingLoader,
+        )
+
+        train_loader = SlabRotatingLoader(
+            train_set, loader_batch, shuffle=True, seed=args.seed,
+            num_workers=args.num_workers, pad_to=pad_to,
+            slab_bytes=args.slab_gb * 1e9, passes_per_slab=args.slab_passes,
+            verbose=True,
+        )
+        # validation is small next to the train split; stage it whole
         val_loader = DeviceStagedLoader(
             val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
             pad_to=pad_to, pad_last_batch=True, verbose=True,
@@ -284,6 +324,19 @@ def main(argv=None):
     if len(val_loader) == 0:
         val_loader = None
 
+    if args.resume == "auto":
+        # supervisor-friendly: newest full checkpoint in this run dir, or a
+        # fresh start when there is none yet. Composes with exit 66 (stall)
+        # and exit 67 (planned RSS recycle):
+        #   until python scripts/train_cnn.py --run_dir D --resume auto ...;
+        #   do :; done
+        from music_transcription_tpu.train.checkpoints import (
+            latest_resumable_checkpoint,
+        )
+
+        args.resume = latest_resumable_checkpoint(args.run_dir)
+        print(f"--resume auto -> {args.resume or 'fresh start'}")
+
     start_epoch = args.start_epoch
     if args.resume and args.start_epoch == 1:
         # auto-detect only when the user didn't pass --start_epoch
@@ -293,17 +346,24 @@ def main(argv=None):
             start_epoch = parsed + 1
             print(f"Resuming from epoch {parsed}; starting at {start_epoch}")
 
-    train_model(
-        model_cfg=model_cfg,
-        train_cfg=train_cfg,
-        audio_cfg=audio_cfg,
-        train_loader=train_loader,
-        val_loader=val_loader,
-        run_dir=args.run_dir,
-        resume_from=args.resume,
-        start_epoch=start_epoch,
-        profile_steps=args.profile_steps,
-    )
+    from music_transcription_tpu.train.loop import HostMemoryRecycle
+    from music_transcription_tpu.train.watchdog import RECYCLE_EXIT_CODE
+
+    try:
+        train_model(
+            model_cfg=model_cfg,
+            train_cfg=train_cfg,
+            audio_cfg=audio_cfg,
+            train_loader=train_loader,
+            val_loader=val_loader,
+            run_dir=args.run_dir,
+            resume_from=args.resume,
+            start_epoch=start_epoch,
+            profile_steps=args.profile_steps,
+        )
+    except HostMemoryRecycle as r:
+        print(f"\nRecycle requested: {r}")
+        return RECYCLE_EXIT_CODE
     print(f"\nTraining complete. Artifacts in {args.run_dir}")
     return 0
 

@@ -406,3 +406,124 @@ def test_device_staged_loader_compact_int16():
     with pytest.raises(ValueError, match="must be float"):
         # lengths (int) are not quantizable — misuse fails loudly
         DeviceStagedLoader(GridDS(), 2, compact_fields=(2,), **kw)
+
+
+class _IdDS:
+    """Items carry their index in mel[0, 0] so batches are traceable."""
+
+    def __init__(self, n=23, t=6):
+        self.n, self.t = n, t
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        mel = np.full((4, self.t), float(i), np.float32)
+        roll = np.zeros((88, self.t), np.float32)
+        return mel, roll
+
+
+def _ids_of(batches):
+    # collate_mel mel field: (B, 1, n_mels, T); id lives at [., 0, 0, 0]
+    return [int(v) for m, *_ in batches for v in np.asarray(m)[:, 0, 0, 0]]
+
+
+def test_slab_rotating_loader_coverage_and_static_shapes():
+    """SlabRotatingLoader partitions each epoch's permutation into equal
+    slabs, yields every staged item exactly once per pass, keeps one static
+    batch shape throughout, frees each slab's device arrays after use, and
+    remixes items across slabs between epochs."""
+    from music_transcription_tpu.data.pipeline import SlabRotatingLoader, collate_mel
+
+    ds = _IdDS(n=23)
+    item_bytes = sum(a.nbytes for a in collate_mel([ds[0]], pad_to=6))
+    loader = SlabRotatingLoader(
+        ds, 2, collate=collate_mel, pad_to=6, num_workers=0, seed=3,
+        slab_bytes=item_bytes * 7)  # forces multiple slabs
+    assert loader.n_slabs >= 3
+    assert loader.items_per_slab % 2 == 0  # whole batches per slab
+
+    staged_arrays = []
+    orig = loader._stage
+
+    def record(idx):
+        arrays = orig(idx)
+        staged_arrays.append(arrays)
+        return arrays
+
+    loader._stage = record
+
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    shapes = {tuple(np.asarray(b[0]).shape) for b in batches}
+    assert len(shapes) == 1  # one compiled gather shape
+    ids1 = _ids_of(batches)
+    expected = loader.n_slabs * loader.items_per_slab
+    assert len(ids1) == expected
+    assert len(set(ids1)) == expected  # no duplicates within the epoch
+    assert set(ids1) <= set(range(23))
+    # every slab's staged arrays were freed
+    assert all(a.is_deleted() for arrays in staged_arrays for a in arrays)
+
+    ids2 = _ids_of(list(loader))
+    assert ids1 != ids2  # fresh permutation: slab composition remixes
+
+
+def test_slab_rotating_loader_passes_and_compact():
+    """passes_per_slab re-walks each staged slab (items appear exactly
+    `passes` times per epoch); compact_fields stages int16 and yields
+    dequantized float32 — same contract as DeviceStagedLoader."""
+    from music_transcription_tpu.data.pipeline import SlabRotatingLoader, collate_mel
+
+    class GridDS(_IdDS):
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            mel = rng.integers(-32768, 32768, (4, self.t)).astype(np.float32) / 32768.0
+            mel[0, 0] = i / 32768.0  # id on the PCM grid (quantization-safe)
+            roll = np.zeros((88, self.t), np.float32)
+            return mel, roll
+
+    ds = GridDS(n=12)
+    item_bytes = sum(a.nbytes for a in collate_mel([ds[0]], pad_to=6))
+    loader = SlabRotatingLoader(
+        ds, 2, collate=collate_mel, pad_to=6, num_workers=0, seed=0,
+        slab_bytes=item_bytes * 6, passes_per_slab=2, compact_fields=(0,))
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    ids = [int(round(v * 32768))
+           for m, *_ in batches for v in np.asarray(m)[:, 0, 0, 0]]
+    from collections import Counter
+
+    counts = Counter(ids)
+    assert set(counts.values()) == {2}  # each staged item seen exactly twice
+    assert np.asarray(batches[0][0]).dtype == np.float32  # dequantized
+    # values survive the int16 round trip (PCM16-grid data)
+    i0 = ids[0]
+    np.testing.assert_array_equal(np.asarray(batches[0][0])[0, 0],
+                                  np.asarray(ds[i0][0]))
+
+
+def test_slab_rotating_loader_abandonment_frees_slabs():
+    """Breaking out mid-epoch (early stop, exception) must free the staged
+    slab AND any prefetched next slab instead of pinning HBM."""
+    from music_transcription_tpu.data.pipeline import SlabRotatingLoader, collate_mel
+
+    ds = _IdDS(n=16)
+    item_bytes = sum(a.nbytes for a in collate_mel([ds[0]], pad_to=6))
+    loader = SlabRotatingLoader(
+        ds, 2, collate=collate_mel, pad_to=6, num_workers=0,
+        slab_bytes=item_bytes * 4)
+    staged_arrays = []
+    orig = loader._stage
+
+    def record(idx):
+        arrays = orig(idx)
+        staged_arrays.append(arrays)
+        return arrays
+
+    loader._stage = record
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon after one batch
+    assert staged_arrays, "nothing staged?"
+    assert all(a.is_deleted() for arrays in staged_arrays for a in arrays)

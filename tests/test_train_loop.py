@@ -321,3 +321,70 @@ def test_train_model_shardmap_path(maestro_root, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     ev = make_eval_step_shardmap(model, mesh)
     assert np.isfinite(float(ev(state, batch)))
+
+
+def test_rss_recycle_exit67_and_resume_auto(maestro_root, tmp_path):
+    """The bounded-host-memory supervisor contract end to end: a run with a
+    tiny --rss_watermark_gb checkpoints and exits RECYCLE_EXIT_CODE (67)
+    after epoch 1; re-running the identical command with --resume auto picks
+    up the newest epoch checkpoint and completes the remaining epochs."""
+    from music_transcription_tpu.train.watchdog import RECYCLE_EXIT_CODE
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run_dir = tmp_path / "recycle_run"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    base = [
+        sys.executable, os.path.join(repo, "scripts", "train_cnn.py"),
+        "--root_dir", str(maestro_root), "--cache_dir", str(tmp_path / "absent"),
+        "--model_type", "cnn_rnn", "--n_mels", "32", "--hidden_size", "8",
+        "--num_layers", "1", "--chunk_length", "2.0", "--epochs", "3",
+        "--batch_size", "2", "--save_every", "0", "--num_workers", "0",
+        "--compute_dtype", "float32", "--device", "cpu", "--data_parallel", "1",
+        "--run_dir", str(run_dir), "--resume", "auto",
+    ]
+    # leg 1: any real process exceeds a 1 MB watermark -> recycle after epoch 1
+    p1 = subprocess.run(base + ["--rss_watermark_gb", "0.001"],
+                        capture_output=True, text=True, env=env, timeout=900)
+    assert p1.returncode == RECYCLE_EXIT_CODE, p1.stdout[-2000:] + p1.stderr[-2000:]
+    assert "requesting recycle" in p1.stdout
+    assert (run_dir / "checkpoints" / "model_epoch_1").is_dir()
+    assert not (run_dir / "checkpoints" / "model_final").exists()
+
+    # leg 2: the supervisor's next iteration — same command, watermark off
+    p2 = subprocess.run(base, capture_output=True, text=True, env=env, timeout=900)
+    assert p2.returncode == 0, p2.stdout[-2000:] + p2.stderr[-2000:]
+    assert "model_epoch_1" in p2.stdout  # --resume auto found leg 1's state
+    assert "Resuming from epoch 1; starting at 2" in p2.stdout
+    assert (run_dir / "checkpoints" / "model_final").is_dir()
+    log = (run_dir / "training_log.txt").read_text()
+    # exactly one epoch from leg 1 plus epochs 2..3 from leg 2
+    assert [l.split()[1] for l in log.strip().splitlines()] == ["1", "2", "3"]
+
+
+def test_train_model_with_slab_loader(maestro_root, tmp_path):
+    """train_model composes with SlabRotatingLoader: multi-slab feeding
+    trains to finite losses and writes the usual artifacts."""
+    from music_transcription_tpu.data.pipeline import SlabRotatingLoader, collate_mel
+
+    mcfg = ModelConfig(model_type="cnn_rnn", n_mels=32, hidden_size=8,
+                       num_layers=1, dropout=0.0, compute_dtype="float32")
+    tcfg = TrainConfig(epochs=2, batch_size=2, learning_rate=1e-3,
+                       save_every=0, data_parallel=1, num_workers=0)
+    train_set = MaestroDataset(maestro_root, split="train", chunk_length=2.0,
+                               audio_cfg=CFG)
+    pad_to = CFG.mel_frames_per_chunk
+    item_bytes = sum(a.nbytes for a in collate_mel([train_set[0]], pad_to=pad_to))
+    train_loader = SlabRotatingLoader(
+        train_set, 2, pad_to=pad_to, num_workers=0, shuffle=True, seed=0,
+        slab_bytes=item_bytes * 3)
+    assert train_loader.n_slabs >= 2  # actually rotates
+    run_dir = str(tmp_path / "slab_run")
+    _, _, history = train_model(
+        model_cfg=mcfg, train_cfg=tcfg, audio_cfg=CFG,
+        train_loader=train_loader, val_loader=None,
+        run_dir=run_dir, verbose=False,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(l) for l in history["train_loss"])
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "model_final"))
