@@ -178,6 +178,8 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
                     limit: int | None = None, verbose: bool = False,
                     num_workers: int = 4,
                     compact_fields: tuple[int, ...] = (),
+                    bf16_fields: tuple[int, ...] = (),
+                    u8_fields: tuple[int, ...] = (),
                     indices=None):
     """Stage a whole dataset on device as one stacked batch per field.
 
@@ -199,6 +201,16 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
     device-side gather with ``dequantize_i16`` — gathering the compact
     array then casting is cheaper than gathering float32.
 
+    ``bf16_fields`` stages float fields as bfloat16 (half the bytes).
+    Bit-equivalent for model inputs consumed at ``compute_dtype=bfloat16``
+    (the first layer performs the identical round-to-nearest cast;
+    f32->bf16->f32->bf16 is one rounding) — do NOT use for float32-compute
+    runs or for loss targets. ``u8_fields`` stages BINARY float fields
+    (piano rolls) as uint8 — exact, 4x smaller; values outside {0, 1}
+    are rejected loudly. Together they stage a mel+roll cache at ~43% of
+    fp32 bytes, which is what lets MAESTRO-scale mel caches skip slab
+    rotation entirely on a 16 GB chip.
+
     Returns (device_arrays_tuple, n_items). Fields are whatever ``collate``
     produces for the full item list. ``indices`` stages an explicit subset
     (slab rotation); default is the whole dataset (up to ``limit``).
@@ -218,7 +230,7 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
         items = [dataset[i] for i in indices]
     host = collate(items, pad_to=pad_to)
     del items
-    if compact_fields:
+    if compact_fields or bf16_fields or u8_fields:
         from music_transcription_tpu.data.cache import quantize_i16
 
         host = list(host)
@@ -227,6 +239,21 @@ def stage_to_device(dataset, collate, *, pad_to: int | None = None,
                 raise ValueError(
                     f"compact field {i} must be float, got {host[i].dtype}")
             host[i] = quantize_i16(host[i])
+        for i in bf16_fields:
+            if not np.issubdtype(host[i].dtype, np.floating):
+                raise ValueError(
+                    f"bf16 field {i} must be float, got {host[i].dtype}")
+            import jax.numpy as jnp
+
+            host[i] = np.asarray(host[i], dtype=jnp.bfloat16)
+        for i in u8_fields:
+            a = host[i]
+            if not np.issubdtype(a.dtype, np.floating) or not np.isin(
+                    a, (0.0, 1.0)).all():
+                raise ValueError(
+                    f"u8 field {i} must be a binary float array (piano "
+                    f"roll); got dtype={a.dtype}")
+            host[i] = a.astype(np.uint8)
         host = tuple(host)
     if verbose:
         mb = sum(a.nbytes for a in host) / 1e6
@@ -244,6 +271,24 @@ def dequantize_i16(a):
     from music_transcription_tpu.data.cache import PCM16_SCALE
 
     return a.astype(jnp.float32) * (1.0 / PCM16_SCALE)
+
+
+def _make_dequantizer(compact_fields=(), bf16_fields=(), u8_fields=()):
+    """Per-field inverse of stage_to_device's compaction: int16 PCM
+    dequantize, bf16/uint8 cast back to float32 — gathered batches come out
+    dtype-identical to the streaming Loader's."""
+    import jax.numpy as jnp
+
+    cf, bf, u8 = frozenset(compact_fields), frozenset(bf16_fields), frozenset(u8_fields)
+
+    def dq(out):
+        return tuple(
+            dequantize_i16(a) if i in cf
+            else a.astype(jnp.float32) if i in bf or i in u8
+            else a
+            for i, a in enumerate(out))
+
+    return dq
 
 
 def epoch_index_batches(n: int, batch_size: int, *, shuffle: bool = True,
@@ -275,26 +320,23 @@ class DeviceStagedLoader:
                  num_workers: int = 4, drop_last: bool = False,
                  pad_last_batch: bool = False, verbose: bool = False,
                  limit: int | None = None,
-                 compact_fields: tuple[int, ...] = ()):
+                 compact_fields: tuple[int, ...] = (),
+                 bf16_fields: tuple[int, ...] = (),
+                 u8_fields: tuple[int, ...] = ()):
         import jax
         import jax.numpy as jnp
 
         self.arrays, self.n = stage_to_device(
             dataset, collate, pad_to=pad_to, num_workers=num_workers,
-            verbose=verbose, limit=limit, compact_fields=compact_fields)
+            verbose=verbose, limit=limit, compact_fields=compact_fields,
+            bf16_fields=bf16_fields, u8_fields=u8_fields)
         self.batch_size = batch_size
         self.shuffle, self.seed = shuffle, seed
         self.drop_last = drop_last
         self.pad_last_batch = pad_last_batch and not drop_last
         self.epoch = 0
 
-        cf = frozenset(compact_fields)
-
-        def dq(out):
-            # int16-staged fields come back float32 — batches are dtype-
-            # identical to the streaming Loader's
-            return tuple(dequantize_i16(a) if i in cf else a
-                         for i, a in enumerate(out))
+        dq = _make_dequantizer(compact_fields, bf16_fields, u8_fields)
 
         if self.pad_last_batch:
             # the last collate field must be per-item lengths: padded rows
@@ -368,6 +410,8 @@ class SlabRotatingLoader:
                  passes_per_slab: int = 1, shuffle: bool = True, seed: int = 0,
                  num_workers: int = 4, verbose: bool = False,
                  compact_fields: tuple[int, ...] = (),
+                 bf16_fields: tuple[int, ...] = (),
+                 u8_fields: tuple[int, ...] = (),
                  prefetch_next_slab: bool = True):
         import jax
         import jax.numpy as jnp
@@ -380,6 +424,8 @@ class SlabRotatingLoader:
         self.num_workers = num_workers
         self.verbose = verbose
         self.compact_fields = tuple(compact_fields)
+        self.bf16_fields = tuple(bf16_fields)
+        self.u8_fields = tuple(u8_fields)
         self.passes_per_slab = max(1, int(passes_per_slab))
         self.prefetch_next_slab = prefetch_next_slab
         self.epoch = 0
@@ -389,8 +435,10 @@ class SlabRotatingLoader:
         item_bytes = 0
         for i, a in enumerate(probe):
             b = int(np.asarray(a).nbytes)
-            if i in self.compact_fields:
-                b //= 2  # staged as int16
+            if i in self.compact_fields or i in self.bf16_fields:
+                b //= 2  # staged as int16 / bfloat16
+            elif i in self.u8_fields:
+                b //= 4  # staged as uint8
             item_bytes += b
         budget_items = max(batch_size, int(slab_bytes // max(1, item_bytes)))
         self.n_slabs = max(1, -(-n // budget_items))
@@ -404,13 +452,11 @@ class SlabRotatingLoader:
                   f"({self.items_per_slab * item_bytes / 1e9:.2f} GB/slab, "
                   f"{n} items, {item_bytes / 1e6:.2f} MB/item)")
 
-        cf = frozenset(self.compact_fields)
+        dq = _make_dequantizer(self.compact_fields, self.bf16_fields,
+                               self.u8_fields)
 
         def gather(arrays, idx):
-            return tuple(
-                dequantize_i16(a) if i in cf else a
-                for i, a in enumerate(tuple(jnp.take(a, idx, axis=0)
-                                            for a in arrays)))
+            return dq(tuple(jnp.take(a, idx, axis=0) for a in arrays))
 
         self._gather = jax.jit(gather)
 
@@ -422,6 +468,7 @@ class SlabRotatingLoader:
         return stage_to_device(
             self.dataset, self.collate, pad_to=self.pad_to,
             num_workers=self.num_workers, compact_fields=self.compact_fields,
+            bf16_fields=self.bf16_fields, u8_fields=self.u8_fields,
             indices=idx)[0]
 
     def __iter__(self):

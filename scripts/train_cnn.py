@@ -267,7 +267,15 @@ def main(argv=None):
     # device — zero per-step H2D traffic, and it bounds the axon client's
     # per-transfer host retention (measured: streamed feeding grows host RSS
     # by ~1 batch/step and OOMs multi-hour runs).
-    est_bytes = (len(train_set) + len(val_set)) * 4 * pad_to * (args.n_mels + 88 + 1)
+    # Compact staging under bf16 compute: mel stages as bfloat16 (the first
+    # conv performs the identical round-to-nearest cast, so training numerics
+    # are unchanged) and the binary roll as uint8 (exact) — ~43% of fp32
+    # bytes, so caches up to ~25 GB fp32 stage whole on a 16 GB chip.
+    compact_staged = args.compute_dtype == "bfloat16"
+    per_frame = (args.n_mels * 2 + 88 * 1) if compact_staged \
+        else 4 * (args.n_mels + 88)
+    est_bytes = (len(train_set) + len(val_set)) * pad_to * per_frame
+    staged_kw = dict(bf16_fields=(0,), u8_fields=(1,)) if compact_staged else {}
     single_chip = (jax.devices()[0].platform != "cpu"
                    and len(jax.devices()) == 1 and not multihost)
     use_staged = (args.device_data == "on"
@@ -285,11 +293,11 @@ def main(argv=None):
         train_loader = DeviceStagedLoader(
             train_set, loader_batch, shuffle=True, seed=args.seed,
             num_workers=args.num_workers, drop_last=True, pad_to=pad_to,
-            verbose=True,
+            verbose=True, **staged_kw,
         )
         val_loader = DeviceStagedLoader(
             val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
-            pad_to=pad_to, pad_last_batch=True, verbose=True,
+            pad_to=pad_to, pad_last_batch=True, verbose=True, **staged_kw,
         )
     elif use_slab:
         from music_transcription_tpu.data.pipeline import (
@@ -301,12 +309,12 @@ def main(argv=None):
             train_set, loader_batch, shuffle=True, seed=args.seed,
             num_workers=args.num_workers, pad_to=pad_to,
             slab_bytes=args.slab_gb * 1e9, passes_per_slab=args.slab_passes,
-            verbose=True,
+            verbose=True, **staged_kw,
         )
         # validation is small next to the train split; stage it whole
         val_loader = DeviceStagedLoader(
             val_set, loader_batch, num_workers=max(1, args.num_workers // 2),
-            pad_to=pad_to, pad_last_batch=True, verbose=True,
+            pad_to=pad_to, pad_last_batch=True, verbose=True, **staged_kw,
         )
     else:
         train_loader = Loader(

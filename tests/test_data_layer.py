@@ -527,3 +527,52 @@ def test_slab_rotating_loader_abandonment_frees_slabs():
     it.close()  # abandon after one batch
     assert staged_arrays, "nothing staged?"
     assert all(a.is_deleted() for arrays in staged_arrays for a in arrays)
+
+
+def test_staged_loader_bf16_mel_u8_roll():
+    """bf16_fields/u8_fields compact staging: mel stages as bfloat16 and the
+    binary roll as uint8 (≈43% of fp32 bytes); gathered batches come back
+    float32 with the roll exact and the mel equal to one f32->bf16 rounding
+    (bit-equivalent for bf16-compute models, whose first layer performs that
+    same cast)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from music_transcription_tpu.data.pipeline import (
+        DeviceStagedLoader,
+        Loader,
+        collate_mel,
+    )
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            mel = rng.standard_normal((4, 10)).astype(np.float32) * 40 - 40
+            roll = (rng.random((88, 10)) > 0.8).astype(np.float32)
+            return mel, roll
+
+    kw = dict(pad_to=10, collate=collate_mel, num_workers=0, drop_last=True)
+    plain = list(Loader(DS(), 2, **kw))
+    compact = DeviceStagedLoader(DS(), 2, bf16_fields=(0,), u8_fields=(1,), **kw)
+    assert compact.arrays[0].dtype == jnp.bfloat16
+    assert compact.arrays[1].dtype == np.uint8
+    assert compact.arrays[2].dtype == np.int32  # lengths untouched
+    for (m1, r1, l1), (m2, r2, l2) in zip(plain, list(compact)):
+        assert np.asarray(m2).dtype == np.float32
+        assert np.asarray(r2).dtype == np.float32
+        # mel: exactly the f32 -> bf16 -> f32 rounding, nothing more
+        np.testing.assert_array_equal(
+            np.asarray(m2), np.asarray(m1).astype(jnp.bfloat16).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))  # exact
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    class NonBinaryDS(DS):
+        def __getitem__(self, i):
+            mel, roll = super().__getitem__(i)
+            return mel, roll * 0.7  # velocity-valued — not uint8-safe
+
+    with pytest.raises(ValueError, match="binary"):
+        DeviceStagedLoader(NonBinaryDS(), 2, u8_fields=(1,), **kw)
