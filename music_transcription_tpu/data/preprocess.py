@@ -64,9 +64,10 @@ def _compact_arrays(arrays):
 
 
 def _save_one(split_dir, idx, wave, roll, *, mel, tokenize, return_waveform,
-              audio_cfg, compact=False):
+              audio_cfg, compact=False, token_len=512):
     if tokenize:
-        arrays = {"waveform": wave, "tokens": _tokens_for(roll), "roll": roll}
+        arrays = {"waveform": wave, "tokens": _tokens_for(roll, max_len=token_len),
+                  "roll": roll}
     elif return_waveform:
         arrays = {"waveform": wave, "roll": roll}
     else:
@@ -78,7 +79,7 @@ def _save_one(split_dir, idx, wave, roll, *, mel, tokenize, return_waveform,
 def _host_worker(args):
     """Pool worker: own dataset instance, one chunk (reference :25-74)."""
     (idx, ds_kwargs, split_dir, force, return_waveform, tokenize, audio_cfg,
-     compact) = args
+     compact, token_len) = args
     if os.path.exists(C.chunk_path(split_dir, idx)) and not force:
         return (True, True)
     try:
@@ -94,7 +95,7 @@ def _host_worker(args):
             mel = log_mel_numpy(wave, audio_cfg)
         _save_one(split_dir, idx, wave, roll, mel=mel, tokenize=tokenize,
                   return_waveform=return_waveform, audio_cfg=audio_cfg,
-                  compact=compact)
+                  compact=compact, token_len=token_len)
         return (True, False)
     except Exception as e:  # pragma: no cover
         print(f"\nError processing chunk {idx}: {e}")
@@ -120,6 +121,7 @@ def preprocess_split(
     device_batch: int = 32,
     verbose: bool = True,
     compact: bool = False,
+    token_len: int = 512,
 ) -> dict:
     """Preprocess one split; returns stats {total, processed, skipped, failed}."""
     ds_kwargs = _dataset_kwargs(root_dir, split, audio_cfg, chunk_length, overlap)
@@ -136,6 +138,7 @@ def preprocess_split(
         "hop_length": audio_cfg.hop_length,
         "return_waveform": bool(return_waveform or tokenize),
         "tokenize": bool(tokenize),
+        "token_len": int(token_len) if tokenize else None,
         "compact": bool(compact),
         "chunks": dataset.chunks,
     }
@@ -168,7 +171,7 @@ def preprocess_split(
 
         args = [
             (i, ds_kwargs, split_dir, force, return_waveform or tokenize,
-             tokenize, audio_cfg, compact)
+             tokenize, audio_cfg, compact, token_len)
             for i in todo
         ]
         with get_context("spawn").Pool(num_workers) as pool:
@@ -179,7 +182,7 @@ def preprocess_split(
         for i in todo:
             ok, was_skipped = _host_worker(
                 (i, ds_kwargs, split_dir, force, return_waveform or tokenize,
-                 tokenize, audio_cfg, compact)
+                 tokenize, audio_cfg, compact, token_len)
             )
             stats["processed" if ok and not was_skipped else
                   "skipped" if ok else "failed"] += 1

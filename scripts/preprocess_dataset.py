@@ -38,6 +38,9 @@ def build_parser():
     g.add_argument("--waveform", action="store_true", help="cache raw waveforms (AST)")
     p.add_argument("--tokenize", action="store_true",
                    help="pre-tokenize rolls to REMI tokens (requires --waveform)")
+    p.add_argument("--token_len", type=int, default=512,
+                   help="token cap for --tokenize caches (pad/truncate length; "
+                        "dense 30s chunks need ~1024 to avoid truncation)")
     p.add_argument("--compact", action="store_true",
                    help="store waveforms as int16 at PCM16 scale and binary "
                         "rolls as uint8 (~2.2x smaller waveform caches; "
@@ -176,6 +179,7 @@ def main(argv=None):
             return_waveform=args.waveform, tokenize=args.tokenize, force=args.force,
             num_workers=args.num_workers, use_device=use_device,
             device_batch=args.device_batch, compact=args.compact,
+            token_len=args.token_len,
         )
         if args.verify:
             ok, msg = verify_cache(args.cache_dir, split)

@@ -85,6 +85,19 @@ def test_preprocess_waveform_and_tokenize(maestro_root, tmp_path):
     assert tokens.shape == (512,)
 
 
+def test_preprocess_token_len(maestro_root, tmp_path):
+    """--token_len raises the per-chunk token cap (dense 30 s chunks overflow
+    the 512 default: 56% hit the cap on the v4 corpus)."""
+    cache_dir = tmp_path / "cache_tok1k"
+    preprocess_split(
+        root_dir=maestro_root, cache_dir=cache_dir, split="train",
+        audio_cfg=CFG, chunk_length=2.0, tokenize=True, use_device=False,
+        num_workers=1, verbose=False, token_len=1024,
+    )
+    data = C.load_chunk(cache_dir / "train", 0)
+    assert data["tokens"].shape == (1024,)
+
+
 def test_preprocess_compact_waveform_cache(maestro_root, tmp_path):
     """--compact stores int16 waveforms + uint8 binary rolls (~2.2x smaller)
     and the reader dequantizes transparently: items read back from a compact
