@@ -550,6 +550,44 @@ def test_encoder_pretrainer_module():
     assert logits.shape == (2, 8, 64)
 
 
+def test_encoder_transplant_across_chunk_lengths():
+    """An encoder pretrained on short chunks transplants into a model run on
+    longer audio: every encoder param (patch_embed kernel, the fixed
+    4096-slot enc_pos table, block weights) is chunk-length-independent, so
+    only the *slice* of positions used changes. This is the pattern the 30 s
+    operating-point run uses (10 s-pretrained encoder, 30 s decoder)."""
+    from music_transcription_tpu.models.transformer import (
+        ASTEncoderPretrainer,
+        ASTTranscriber,
+        encoder_param_subtrees,
+    )
+
+    pre = ASTEncoderPretrainer(encoder_layers=2, encoder_dim=32,
+                               encoder_heads=2, patch_frames=4, n_mels=32)
+    short = jnp.zeros((2, 32000), jnp.float32)   # 2 s @ 16 kHz
+    v = pre.init(jax.random.key(0), short, train=False)
+
+    ast = ASTTranscriber(remi_vocab_size=64, decoder_layers=1, decoder_dim=32,
+                         decoder_heads=2, encoder_layers=2, encoder_dim=32,
+                         encoder_heads=2, patch_frames=4, n_mels=32,
+                         use_mock_encoder=False)
+    long = jnp.zeros((2, 96000), jnp.float32)    # 3x the pretrain length
+    va = ast.init({"params": jax.random.key(1)}, long,
+                  targets=jnp.zeros((2, 8), jnp.int32), train=False)
+    sub = encoder_param_subtrees(v["params"])
+    # shape-compatible leaf by leaf (what train_ast's transplant verifies)
+    for k, tree in sub.items():
+        want = jax.tree.map(lambda a: a.shape, va["params"][k])
+        got = jax.tree.map(lambda a: a.shape, tree)
+        assert want == got, k
+    params = dict(va["params"])
+    params.update(sub)
+    logits = ast.apply({"params": params}, long,
+                       targets=jnp.zeros((2, 8), jnp.int32), train=False)
+    assert logits.shape == (2, 8, 64)
+    assert bool(jnp.isfinite(logits).all())
+
+
 def test_pretrain_then_encoder_init_freeze_cli(tmp_path):
     """The documented pretrain/freeze/finetune recipe through the real CLI:
     --pretrain_frames trains the encoder tower and writes a checkpoint;
