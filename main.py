@@ -61,7 +61,10 @@ def main():
         "--beam", type=int, default=1,
         help="AST checkpoints only: beam size for token decoding "
              "(default 1 = greedy). Vectorized beam search with length "
-             "normalization; composes with --constrained.",
+             "normalization; composes with --constrained. Measured sign is "
+             "checkpoint-dependent (beam-4+grammar won +5-22%% relative at "
+             "the round-5 checkpoints, lost -12%% at the round-4 one; "
+             "DESIGN.md 'AST decoding') - worth measuring on yours.",
     )
     parser.add_argument(
         "--constrained", action="store_true",
